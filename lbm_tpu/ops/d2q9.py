@@ -1,0 +1,256 @@
+"""D2Q9 BGK lattice-Boltzmann: fused collide-and-stream step in pure JAX.
+
+This is the numerically-authoritative engine. One `step` fuses pull-streaming
+(periodic wraparound via `jnp.roll`), obstacle bounce-back rebound, BGK
+collision (in the algebraically-rearranged `c_sq = 1 - 1.5 u^2` form) and the
+accelerated-row body force, and emits the per-step summed |u| — exactly the
+semantics of the reference's serial golden kernel (main/LastChance.cpp:185-267)
+and its fused IPU vertex (main/codelets/D2Q9Codelets.cpp:94-191).
+
+TPU notes:
+  * The nine (ny, nx) planes are a stacked (9, ny, nx) array; every op is a
+    full-plane VPU op, so XLA fuses the whole step into a few HBM-bandwidth-
+    bound loops. The Pallas kernel in d2q9_pallas.py is the hand-fused,
+    single-pass version of the same math.
+  * Applied to an array sharded over a `jax.sharding.Mesh`, `jnp.roll` makes
+    XLA insert the halo collectives automatically — the analogue of the
+    reference's compiler-scheduled "implicit" halo exchange, which its own
+    experiments found fastest (experiments/halo-exchange-approaches). The
+    explicit `shard_map` + `ppermute` version lives in parallel/halo.py.
+  * The whole time loop is a `lax.scan` inside one jit: zero host round-trips,
+    like the reference's on-device `Repeat` program (main/LbmAoS.cpp:354-356).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import Params
+
+
+class AccelWeights(NamedTuple):
+    """Body-force row weights w1 = rho*accel/9, w2 = rho*accel/36
+    (reference: main/LastChance.cpp:158-159)."""
+
+    w1: float
+    w2: float
+
+    @classmethod
+    def from_params(cls, params: Params) -> "AccelWeights":
+        return cls(params.density * params.accel / 9.0, params.density * params.accel / 36.0)
+
+
+def stream_pull(f: jax.Array) -> tuple[jax.Array, ...]:
+    """Periodic pull-streaming: speed k at cell x comes from x - e_k.
+
+    Matches main/LastChance.cpp:203-211. `f` has shape (9, ny, nx); row axis
+    is -2 (jj, northwards), column axis is -1 (ii, eastwards).
+    """
+    return (
+        f[0],
+        jnp.roll(f[1], 1, axis=-1),  # east: from west neighbour
+        jnp.roll(f[2], 1, axis=-2),  # north: from south neighbour
+        jnp.roll(f[3], -1, axis=-1),  # west: from east neighbour
+        jnp.roll(f[4], -1, axis=-2),  # south: from north neighbour
+        jnp.roll(f[5], (1, 1), axis=(-2, -1)),  # north-east
+        jnp.roll(f[6], (1, -1), axis=(-2, -1)),  # north-west
+        jnp.roll(f[7], (-1, -1), axis=(-2, -1)),  # south-west
+        jnp.roll(f[8], (-1, 1), axis=(-2, -1)),  # south-east
+    )
+
+
+def collide(
+    s: tuple[jax.Array, ...],
+    obstacle_mask: jax.Array,
+    accel_mask: jax.Array,
+    *,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+):
+    """BGK collision + rebound + accelerated-row force on streamed planes.
+
+    `s` are the nine post-streaming planes; `obstacle_mask` is bool;
+    `accel_mask` is a {0,1} float plane (1 on the accelerated row, broadcastable).
+    Returns (f_new stacked (9, ny, nx), tot_u = sum over free cells of |u|).
+
+    Expression grouping mirrors main/LastChance.cpp:213-262 for float32
+    fidelity with the golden data.
+    """
+    s0, s1, s2, s3, s4, s5, s6, s7, s8 = s
+    one_minus_omega = 1.0 - omega
+
+    rho = s0 + s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8
+    u_x = (s1 + s5 + s8 - (s3 + s6 + s7)) / rho
+    u_y = (s2 + s5 + s6 - (s4 + s7 + s8)) / rho
+    u_sq = u_x * u_x + u_y * u_y
+
+    c_sq = 1.0 - u_sq * 1.5
+    ld0 = 4.0 / 9.0 * rho * omega
+    ld1 = rho / 9.0 * omega
+    ld2 = rho / 36.0 * omega
+    u_s = u_x + u_y
+    u_d = -u_x + u_y
+
+    two_thirds = 2.0 / 3.0
+    out0 = s0 * one_minus_omega + ld0 * c_sq
+    out1 = s1 * one_minus_omega + ld1 * ((4.5 * u_x) * (two_thirds + u_x) + c_sq)
+    out2 = s2 * one_minus_omega + ld1 * ((4.5 * u_y) * (two_thirds + u_y) + c_sq)
+    out3 = s3 * one_minus_omega + ld1 * ((-4.5 * u_x) * (two_thirds - u_x) + c_sq)
+    out4 = s4 * one_minus_omega + ld1 * ((-4.5 * u_y) * (two_thirds - u_y) + c_sq)
+    out5 = s5 * one_minus_omega + ld2 * ((4.5 * u_s) * (two_thirds + u_s) + c_sq)
+    out6 = s6 * one_minus_omega + ld2 * ((4.5 * u_d) * (two_thirds + u_d) + c_sq)
+    out7 = s7 * one_minus_omega + ld2 * ((-4.5 * u_s) * (two_thirds - u_s) + c_sq)
+    out8 = s8 * one_minus_omega + ld2 * ((-4.5 * u_d) * (two_thirds - u_d) + c_sq)
+
+    # fold the accelerated-row body force into the collided state
+    # (main/LastChance.cpp:253-261)
+    aw1 = accel_mask * accel_w1
+    aw2 = accel_mask * accel_w2
+    out1 = out1 + aw1
+    out3 = out3 - aw1
+    out5 = out5 + aw2
+    out6 = out6 - aw2
+    out7 = out7 - aw2
+    out8 = out8 + aw2
+
+    # obstacle cells: pure bounce-back of the streamed speeds
+    # (main/LastChance.cpp:213-223)
+    f_new = jnp.stack(
+        [
+            jnp.where(obstacle_mask, s0, out0),
+            jnp.where(obstacle_mask, s3, out1),
+            jnp.where(obstacle_mask, s4, out2),
+            jnp.where(obstacle_mask, s1, out3),
+            jnp.where(obstacle_mask, s2, out4),
+            jnp.where(obstacle_mask, s7, out5),
+            jnp.where(obstacle_mask, s8, out6),
+            jnp.where(obstacle_mask, s5, out7),
+            jnp.where(obstacle_mask, s6, out8),
+        ]
+    )
+
+    zero = jnp.zeros((), dtype=u_sq.dtype)
+    tot_u = jnp.sum(jnp.where(obstacle_mask, zero, jnp.sqrt(u_sq)))
+    return f_new, tot_u
+
+
+def accel_row_mask(ny: int, nx: int, accel_row: int, dtype=jnp.float32) -> jax.Array:
+    """{0,1} column mask selecting the accelerated row (broadcasts over nx)."""
+    rows = jnp.arange(ny, dtype=jnp.int32)
+    return (rows == accel_row).astype(dtype)[:, None]
+
+
+def step(
+    f: jax.Array,
+    obstacle_mask: jax.Array,
+    accel_mask: jax.Array,
+    *,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+):
+    """One fused timestep on the full periodic grid. Returns (f', tot_u)."""
+    s = stream_pull(f)
+    return collide(
+        s, obstacle_mask, accel_mask, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2
+    )
+
+
+def first_accelerate(
+    f: jax.Array,
+    obstacle_mask: jax.Array,
+    *,
+    accel_row: int,
+    accel_w1: float,
+    accel_w2: float,
+) -> jax.Array:
+    """One-off guarded acceleration of the target row before the loop.
+
+    Unlike the in-step force, this variant guards against driving densities
+    negative (reference: main/LastChance.cpp:163-183, and
+    FirstAccelerateVertex in main/codelets/D2Q9Codelets.cpp:193-224).
+    """
+    dtype = f.dtype
+    w1 = jnp.asarray(accel_w1, dtype)
+    w2 = jnp.asarray(accel_w2, dtype)
+    row = f[:, accel_row, :]
+    obs = obstacle_mask[accel_row, :]
+    ok = (~obs) & (row[3] - w1 > 0) & (row[6] - w2 > 0) & (row[7] - w2 > 0)
+    deltas = jnp.stack(
+        [
+            jnp.zeros_like(row[0]),
+            jnp.where(ok, w1, 0),
+            jnp.zeros_like(row[0]),
+            jnp.where(ok, -w1, 0),
+            jnp.zeros_like(row[0]),
+            jnp.where(ok, w2, 0),
+            jnp.where(ok, -w2, 0),
+            jnp.where(ok, -w2, 0),
+            jnp.where(ok, w2, 0),
+        ]
+    )
+    return f.at[:, accel_row, :].add(deltas.astype(dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "omega", "accel_w1", "accel_w2", "unroll"))
+def run(
+    f: jax.Array,
+    obstacle_mask: jax.Array,
+    accel_mask: jax.Array,
+    *,
+    num_steps: int,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+    unroll: int = 1,
+):
+    """`num_steps` fused timesteps as one on-device `lax.scan`.
+
+    Returns (f_final, tot_u_per_step of shape (num_steps,)). The analogue of
+    the reference's compiled `Repeat(maxIters/2, two_timesteps)` program
+    (main/LbmAoS.cpp:354-356) — the host is not involved between steps.
+    """
+
+    def body(carry, _):
+        f_new, tot_u = step(
+            carry,
+            obstacle_mask,
+            accel_mask,
+            omega=omega,
+            accel_w1=accel_w1,
+            accel_w2=accel_w2,
+        )
+        return f_new, tot_u
+
+    return jax.lax.scan(body, f, None, length=num_steps, unroll=unroll)
+
+
+def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array, *, unroll: int = 1):
+    """Full reference-semantics simulation: first-accelerate, then max_iters
+    fused steps; returns (f_final, av_vels) with av_vels already divided by
+    the free-cell count (main/LastChance.cpp:266)."""
+    aw = AccelWeights.from_params(params)
+    accel_row = params.ny - 2
+    obstacle_mask = jnp.asarray(obstacle_mask)
+    f = first_accelerate(
+        jnp.asarray(f), obstacle_mask, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
+    )
+    amask = accel_row_mask(params.ny, params.nx, accel_row, dtype=f.dtype)
+    f_final, tot_u = run(
+        f,
+        obstacle_mask,
+        amask,
+        num_steps=params.max_iters,
+        omega=params.omega,
+        accel_w1=aw.w1,
+        accel_w2=aw.w2,
+        unroll=unroll,
+    )
+    num_free = jnp.asarray((~jnp.asarray(obstacle_mask)).sum(), dtype=f.dtype)
+    av_vels = tot_u / num_free
+    return f_final, av_vels

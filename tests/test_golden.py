@@ -1,0 +1,83 @@
+"""Golden-file regression against the reference's check/ data.
+
+The golden files were produced by a float64 serial implementation
+(main/LastChance.cpp semantics); our float64 CPU runs match to ~1e-12.
+Short-prefix runs keep CI fast; the full-length runs are marked slow.
+"""
+
+import dataclasses
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.core import io, state
+from lbm_tpu.core.params import Obstacles, Params
+from lbm_tpu.ops import d2q9
+
+GRIDS = ["128x128", "128x256", "256x256", "1024x1024"]
+
+
+def load_case(reference_dir, grid):
+    p = Params.from_file(f"{reference_dir}/params/input_{grid}.params")
+    obs = Obstacles.from_file(f"{reference_dir}/params/obstacles_{grid}.dat", p)
+    golden_av = io.read_av_vels(f"{reference_dir}/check/{grid}.av_vels.dat")
+    return p, obs, golden_av
+
+
+@pytest.mark.parametrize("grid", GRIDS)
+def test_av_vels_prefix_f64(reference_dir, grid):
+    p, obs, golden_av = load_case(reference_dir, grid)
+    n = 50
+    with jax.enable_x64(True):
+        p_n = dataclasses.replace(p, max_iters=n)
+        f0 = jnp.asarray(state.initial_distributions(p_n, np.float64))
+        _, av = d2q9.simulate(p_n, f0, jnp.asarray(obs.mask))
+        av = np.asarray(av)
+    rel = np.abs(av - golden_av[:n]) / golden_av[:n]
+    assert rel.max() < 1e-10, f"max rel err {rel.max():.3e} at step {rel.argmax()}"
+
+
+@pytest.mark.parametrize("grid", ["128x128"])
+def test_av_vels_prefix_f32_within_tolerance(reference_dir, grid):
+    """float32 (the TPU production dtype) stays within f32 round-off of the
+    f64 golden over a short horizon."""
+    p, obs, golden_av = load_case(reference_dir, grid)
+    n = 100
+    p_n = dataclasses.replace(p, max_iters=n)
+    f0 = jnp.asarray(state.initial_distributions(p_n, np.float32))
+    _, av = d2q9.simulate(p_n, f0, jnp.asarray(obs.mask))
+    av = np.asarray(av, dtype=np.float64)
+    rel = np.abs(av - golden_av[:n]) / golden_av[:n]
+    assert rel.max() < 1e-3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("grid", ["128x128", "128x256"])
+def test_full_run_passes_checker(reference_dir, grid, tmp_path):
+    """End-to-end: full-length f64 run, written .dat files pass verify/check.py
+    against the golden files at 1% tolerance (and in fact at 1e-6%)."""
+    p, obs, _ = load_case(reference_dir, grid)
+    with jax.enable_x64(True):
+        f0 = jnp.asarray(state.initial_distributions(p, np.float64))
+        f_final, av = d2q9.simulate(p, f0, jnp.asarray(obs.mask))
+        io.write_av_vels(tmp_path / "av_vels.dat", np.asarray(av))
+        io.write_final_state(tmp_path / "final_state.dat", p, obs.mask, np.asarray(f_final))
+
+    check = Path(__file__).resolve().parent.parent / "verify" / "check.py"
+    res = subprocess.run(
+        [
+            sys.executable, str(check),
+            "--tolerance", "1e-6",
+            "--ref-av-vels-file", f"{reference_dir}/check/{grid}.av_vels.dat",
+            "--ref-final-state-file", f"{reference_dir}/check/{grid}.final_state.dat",
+            "--av-vels-file", str(tmp_path / "av_vels.dat"),
+            "--final-state-file", str(tmp_path / "final_state.dat"),
+        ],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
