@@ -53,10 +53,11 @@ def initial_distributions(params: Params, dtype=np.float32) -> np.ndarray:
 
     w0 = 4*rho/9 (rest), w1 = rho/9 (axis), w2 = rho/36 (diagonal).
     """
-    d = dtype(params.density) if np.issubdtype(dtype, np.floating) else params.density
-    w0 = np.asarray(d, dtype=dtype) * dtype(4.0) / dtype(9.0)
-    w1 = np.asarray(d, dtype=dtype) / dtype(9.0)
-    w2 = np.asarray(d, dtype=dtype) / dtype(36.0)
+    dtype = np.dtype(dtype)
+    d = np.asarray(params.density, dtype=dtype)
+    w0 = d * np.asarray(4.0, dtype) / np.asarray(9.0, dtype)
+    w1 = d / np.asarray(9.0, dtype)
+    w2 = d / np.asarray(36.0, dtype)
     f = np.empty((NUM_SPEEDS, params.ny, params.nx), dtype=dtype)
     f[0] = w0
     f[1:5] = w1
