@@ -1,0 +1,144 @@
+"""Grid partitioning planner & introspection.
+
+The TPU recast of the reference's partitioning library
+(`grids::` in main/include/StructuredGridUtils.hpp): the three-level IPU
+hierarchy (IPU -> tile -> worker) becomes (device -> Pallas band -> VPU lane),
+and the planner answers the same questions — who owns which slice, how even
+is the load, how much hardware is wasted — with the same JSON dump schema for
+tooling (`grids::serializeToJson`, StructuredGridUtils.hpp:135-158).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+from . import mesh as mesh_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class Slice2D:
+    """Half-open 2-D slice [row_start, row_end) x [col_start, col_end)
+    (reference: grids::Slice2D, StructuredGridUtils.hpp:52-88)."""
+
+    row_start: int
+    row_end: int
+    col_start: int
+    col_end: int
+
+    @property
+    def height(self) -> int:
+        return self.row_end - self.row_start
+
+    @property
+    def width(self) -> int:
+        return self.col_end - self.col_start
+
+    @property
+    def area(self) -> int:
+        return self.height * self.width
+
+    def to_dict(self) -> dict:
+        return {
+            "rows": {"from": self.row_start, "upto": self.row_end},
+            "cols": {"from": self.col_start, "upto": self.col_end},
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class Target:
+    """Placement of a slice: device in the mesh, band within the device
+    (reference: grids::PartitioningTarget, StructuredGridUtils.hpp:96-119)."""
+
+    device_row: int
+    device_col: int
+    band: int = 0
+
+    def name(self) -> str:
+        return f"dev({self.device_row},{self.device_col})-band{self.band}"
+
+
+GridPartitioning = dict[Target, Slice2D]
+
+
+def _split_even(n: int, parts: int) -> list[tuple[int, int]]:
+    """Round-robin even split of [0, n) into `parts` contiguous ranges
+    (reference: grids::roundRobinFill, StructuredGridUtils.hpp:161-165)."""
+    base, extra = divmod(n, parts)
+    out, start = [], 0
+    for i in range(parts):
+        size = base + (1 if i < extra else 0)
+        out.append((start, start + size))
+        start += size
+    return out
+
+
+def partition_for_devices(ny: int, nx: int, n_devices: int) -> GridPartitioning:
+    """Device-level block decomposition over the best rows x cols mesh shape
+    (reference: grids::partitionForIpus, StructuredGridUtils.hpp:472-561)."""
+    r, c = mesh_lib.best_factorisation(n_devices, ny, nx)
+    rows = _split_even(ny, r)
+    cols = _split_even(nx, c)
+    return {
+        Target(i, j): Slice2D(rs, re, cs, ce)
+        for i, (rs, re) in enumerate(rows)
+        for j, (cs, ce) in enumerate(cols)
+    }
+
+
+def to_band_partitions(partitioning: GridPartitioning, band: int) -> GridPartitioning:
+    """Split each device slice into Pallas row-bands — the analogue of the
+    reference's tile-level overlay (grids::toTilePartitions,
+    StructuredGridUtils.hpp:568-587)."""
+    out: GridPartitioning = {}
+    for tgt, sl in partitioning.items():
+        n_bands = max(1, sl.height // band)
+        for b, (rs, re) in enumerate(_split_even(sl.height, n_bands)):
+            out[Target(tgt.device_row, tgt.device_col, b)] = Slice2D(
+                sl.row_start + rs, sl.row_start + re, sl.col_start, sl.col_end
+            )
+    return out
+
+
+def serialize_to_json(partitioning: GridPartitioning, path: str | Path | None = None) -> str:
+    """Same shape as grids::serializeToJson (StructuredGridUtils.hpp:135-158):
+    a mapping of target-name -> slice bounds."""
+    doc = {t.name(): s.to_dict() for t, s in sorted(
+        partitioning.items(), key=lambda kv: (kv[0].device_row, kv[0].device_col, kv[0].band)
+    )}
+    text = json.dumps(doc, indent=2)
+    if path is not None:
+        Path(path).write_text(text)
+    return text
+
+
+@dataclasses.dataclass
+class PartitionStats:
+    """Load-balance metrics (reference: VisualiseTileMapping.cpp:174-199)."""
+
+    num_targets: int
+    min_cells: int
+    max_cells: int
+    mean_cells: float
+    load_balance: float  # mean/max: 1.0 = perfectly even
+    total_cells: int
+    max_speedup: float   # total/max: achievable parallel speedup
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def stats(partitioning: GridPartitioning) -> PartitionStats:
+    areas = [s.area for s in partitioning.values()]
+    total = sum(areas)
+    mx = max(areas)
+    return PartitionStats(
+        num_targets=len(areas),
+        min_cells=min(areas),
+        max_cells=mx,
+        mean_cells=total / len(areas),
+        load_balance=(total / len(areas)) / mx,
+        total_cells=total,
+        max_speedup=total / mx,
+    )
