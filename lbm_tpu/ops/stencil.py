@@ -1,0 +1,150 @@
+"""3x3 Gaussian-blur stencil: XLA conv engine + fused Pallas kernel.
+
+Reference capability: the Gaussian-blur suite (main/GaussianBlurCpu.cpp:12-34
+serial kernel; main/GaussianBlurPoplibs.cpp 3x3 poplin::convolution;
+main/GaussianBlurLowLevel.cpp hand-built vertices with float/float2/half/half4
+dtype dispatch). Kernel = (1 2 1; 2 4 2; 1 2 1)/16 per channel; the image
+carries a zero ghost ring that is never written, so the boundary condition is
+"zero outside".
+
+TPU recast:
+  * engine='conv'   — depthwise `lax.conv_general_dilated`; XLA lowers a 3x3
+    depthwise conv to fused VPU shifts (the poplin::convolution analogue).
+  * engine='pallas' — one fused pass: row-band grid, halo rows via modular
+    index_map, column shifts in VMEM, masked write keeping the pad ring zero.
+  * dtype float32 / bfloat16 — the float / half vectorisation axis of the
+    reference's study (experiments/gaussian-blur-scaling).
+
+State layout: (C, Hp, Wp) channels-first, zero-padded and TPU-aligned via
+utils.image.pad_to_tile, with an interior {0,1} mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# (1 2 1; 2 4 2; 1 2 1)/16
+KERNEL = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]) / 16.0
+
+
+def blur_step_conv(img: jax.Array, interior: jax.Array) -> jax.Array:
+    """One blur via depthwise conv. img: (C, H, W); interior: (H, W) {0,1}."""
+    c = img.shape[0]
+    k = jnp.asarray(KERNEL, img.dtype)
+    kern = jnp.broadcast_to(k, (c, 1, 3, 3))  # OIHW depthwise
+    out = jax.lax.conv_general_dilated(
+        img[None],  # NCHW
+        kern,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+        preferred_element_type=img.dtype,
+    )[0]
+    return out * interior
+
+
+def _shift_rows(ext, band, dr):
+    # ext: (C, band+2, W); rows shifted by dr in {-1,0,1}
+    return ext[:, 1 + dr : 1 + dr + band, :]
+
+
+def _blur_kernel(img_ref, prev_ref, next_ref, interior_ref, out_ref, *, band: int):
+    cur = img_ref[:]
+    above = prev_ref[:, 7, :]
+    below = next_ref[:, 0, :]
+    ext = jnp.concatenate([above[:, None, :], cur, below[:, None, :]], axis=1)
+
+    n = _shift_rows(ext, band, -1)
+    m = cur
+    s = _shift_rows(ext, band, 1)
+
+    w = ext.shape[-1]
+
+    def left(x):
+        return pltpu.roll(x, 1, axis=x.ndim - 1)
+
+    def right(x):
+        return pltpu.roll(x, w - 1, axis=x.ndim - 1)
+
+    dt = cur.dtype
+    four = jnp.asarray(4.0, dt)
+    two = jnp.asarray(2.0, dt)
+    sixteenth = jnp.asarray(1.0 / 16.0, dt)
+    acc = four * m
+    acc = acc + two * (n + s + left(m) + right(m))
+    acc = acc + (left(n) + right(n) + left(s) + right(s))
+    out_ref[:] = acc * sixteenth * interior_ref[:][None]
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pallas_blur(c, h, w, dtype_name, band, interpret):
+    dtype = jnp.dtype(dtype_name)
+    if h % band or band % 8 or h % 8:
+        raise ValueError(f"bad band {band} for height {h}")
+    grid = h // band
+    nblk8 = h // 8
+    bb8 = band // 8
+    return pl.pallas_call(
+        functools.partial(_blur_kernel, band=band),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((c, band, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 8, w), lambda i: (0, (i * bb8 - 1) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 8, w), lambda i: (0, (i * bb8 + bb8) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, band, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def blur_step_pallas(img: jax.Array, interior: jax.Array, *,
+                     band: int | None = None,
+                     interpret: bool | None = None) -> jax.Array:
+    """One fused blur pass. The modular row wraparound only ever reads the
+    zero pad ring (>=1 zero row at each edge, masked output), so it is exact
+    for the zero-boundary stencil."""
+    c, h, w = img.shape
+    if band is None:
+        band = _choose_band(h)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    call = _build_pallas_blur(c, h, w, jnp.dtype(img.dtype).name, band,
+                              bool(interpret))
+    return call(img, img, img, interior)
+
+
+def _choose_band(h: int) -> int:
+    for b in (256, 128, 64, 32, 16, 8):
+        if h % b == 0:
+            return b
+    raise ValueError(f"height {h} not a multiple of 8")
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "engine", "band"))
+def blur_many(img: jax.Array, interior: jax.Array, *, num_iters: int,
+              engine: str = "conv", band: int | None = None) -> jax.Array:
+    """num_iters x2 blur passes under one scan (the reference runs pairs:
+    GaussianBlurCpu.cpp:77-81, GaussianBlurLowLevel.cpp:211-216)."""
+    step = {
+        "conv": blur_step_conv,
+        "pallas": functools.partial(blur_step_pallas, band=band),
+    }[engine]
+
+    def body(carry, _):
+        return step(step(carry, interior), interior), None
+
+    out, _ = jax.lax.scan(body, img, None, length=num_iters)
+    return out

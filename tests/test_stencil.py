@@ -1,0 +1,112 @@
+"""Gaussian-blur stencil tests: conv and Pallas engines vs a literal numpy
+reimplementation of the reference kernel (GaussianBlurCpu.cpp:12-34)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.ops import stencil
+from lbm_tpu.utils import image as img_lib
+
+RNG = np.random.default_rng(3)
+
+
+def np_blur(padded: np.ndarray, interior=None) -> np.ndarray:
+    """Reference semantics: write interior of the zero-padded array only.
+    `interior` masks to the true image box (alignment padding stays zero)."""
+    out = np.zeros_like(padded)
+    p = padded
+    out[:, 1:-1, 1:-1] = (
+        2.0 * (p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2] + p[:, 1:-1, 2:])
+        + (p[:, :-2, :-2] + p[:, :-2, 2:] + p[:, 2:, :-2] + p[:, 2:, 2:])
+        + 4.0 * p[:, 1:-1, 1:-1]
+    ) / 16.0
+    if interior is not None:
+        out *= interior
+    return out
+
+
+def make_padded(h=30, w=126):
+    chans = RNG.uniform(0, 1, size=(4, h, w)).astype(np.float32)
+    padded, interior, (ph, pw) = img_lib.pad_to_tile(chans)
+    assert (ph, pw) == (h, w)
+    return padded, interior
+
+
+@pytest.mark.parametrize("engine", ["conv", "pallas"])
+def test_single_step_matches_numpy(engine):
+    padded, interior = make_padded()
+    step = {"conv": stencil.blur_step_conv, "pallas": stencil.blur_step_pallas}[engine]
+    out = np.asarray(step(jnp.asarray(padded), jnp.asarray(interior)))
+    expected = np_blur(padded)
+    # pad ring (and alignment padding) must stay exactly zero
+    np.testing.assert_array_equal(out * (1 - interior), 0.0)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("engine", ["conv", "pallas"])
+def test_iterated_blur_matches_numpy(engine):
+    padded, interior = make_padded(14, 62)
+    out = np.asarray(
+        stencil.blur_many(jnp.asarray(padded), jnp.asarray(interior),
+                          num_iters=3, engine=engine)
+    )
+    expected = padded
+    for _ in range(6):
+        expected = np_blur(expected, interior)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_bfloat16_engine_runs_and_approximates():
+    padded, interior = make_padded(14, 62)
+    out_bf = np.asarray(
+        stencil.blur_many(jnp.asarray(padded, jnp.bfloat16),
+                          jnp.asarray(interior, jnp.bfloat16),
+                          num_iters=2, engine="conv"),
+        dtype=np.float32,
+    )
+    expected = padded
+    for _ in range(4):
+        expected = np_blur(expected, interior)
+    np.testing.assert_allclose(out_bf, expected, rtol=0.1, atol=0.05)
+
+
+def test_blur_conserves_mass_interior():
+    """Away from boundaries the kernel sums to 1 — a constant image stays
+    constant in its interior."""
+    chans = np.full((4, 30, 126), 0.5, np.float32)
+    padded, interior, _ = img_lib.pad_to_tile(chans)
+    out = np.asarray(stencil.blur_step_conv(jnp.asarray(padded), jnp.asarray(interior)))
+    # rows/cols >=2 cells from the image edge see no zero ghost
+    np.testing.assert_allclose(out[:, 3:-3, 3:-3][:, : 30 - 4, : 126 - 4], 0.5, rtol=1e-6)
+
+
+class TestImageUtils:
+    def test_float_roundtrip(self):
+        rgba = RNG.integers(10, 250, size=(20, 30, 4), dtype=np.uint8)
+        f = img_lib.to_float_image(rgba)
+        assert f.intensities.min() >= 0.0 and f.intensities.max() <= 1.0
+        back = img_lib.to_char_image(f)
+        np.testing.assert_allclose(back.astype(int), rgba.astype(int), atol=1)
+
+    def test_constant_channel(self):
+        rgba = np.full((8, 8, 4), 77, np.uint8)
+        f = img_lib.to_float_image(rgba)
+        np.testing.assert_array_equal(f.intensities, 0.0)
+
+    def test_pad_to_tile_alignment(self):
+        chans = np.ones((4, 30, 126), np.float32)
+        padded, interior, (h, w) = img_lib.pad_to_tile(chans)
+        assert padded.shape[1] % 8 == 0 and padded.shape[2] % 128 == 0
+        assert interior.sum() == 30 * 126
+        np.testing.assert_array_equal(padded[:, 1:31, 1:127], chans)
+
+    def test_png_roundtrip(self, tmp_path):
+        rgba = RNG.integers(0, 255, size=(12, 17, 4), dtype=np.uint8)
+        img_lib.save_png(tmp_path / "x.png", rgba)
+        back = img_lib.load_png(tmp_path / "x.png")
+        np.testing.assert_array_equal(back, rgba)
+
+    def test_load_reference_image(self, reference_dir):
+        rgba = img_lib.load_png(f"{reference_dir}/images/test-small.png")
+        assert rgba.ndim == 3 and rgba.shape[2] == 4
