@@ -75,21 +75,53 @@ def _stream_from_ext(ext: jax.Array, h: int, w: int) -> tuple[jax.Array, ...]:
     return (mid(0), e(1), n(2), wst(3), s_(4), ne(5), nw(6), sw(7), se(8))
 
 
+def exchange_halos_allgather(f_loc: jax.Array) -> jax.Array:
+    """Same contract as exchange_halos_2wave, but each shard all-gathers the
+    boundary rows/cols of EVERY shard and selects its neighbours' — the
+    deliberately-heavy strategy, kept as the analogue of the reference's
+    worst performer `explicitOneTensor` (HaloRegionApproaches.cpp:522-738)
+    for the strategy-comparison experiment."""
+    nr = jax.lax.psum(1, ROW)
+    my_r = jax.lax.axis_index(ROW)
+    # all shards' top/bottom rows: (nr, 9, 1, w)
+    tops = jax.lax.all_gather(f_loc[:, -1:, :], ROW)
+    bots = jax.lax.all_gather(f_loc[:, :1, :], ROW)
+    ghost_south = tops[(my_r - 1) % nr]
+    ghost_north = bots[(my_r + 1) % nr]
+    ext = jnp.concatenate([ghost_south, f_loc, ghost_north], axis=1)
+
+    nc = jax.lax.psum(1, COL)
+    my_c = jax.lax.axis_index(COL)
+    lefts = jax.lax.all_gather(ext[:, :, -1:], COL)
+    rights = jax.lax.all_gather(ext[:, :, :1], COL)
+    ghost_west = lefts[(my_c - 1) % nc]
+    ghost_east = rights[(my_c + 1) % nc]
+    return jnp.concatenate([ghost_west, ext, ghost_east], axis=2)
+
+
+EXCHANGES = {
+    "ppermute": exchange_halos_2wave,
+    "allgather": exchange_halos_allgather,
+}
+
+
 def make_sharded_step(
     mesh: Mesh,
     *,
     omega: float,
     accel_w1: float,
     accel_w2: float,
+    exchange: str = "ppermute",
 ):
     """Explicit-exchange distributed step: f (9,ny,nx) sharded over
     (ry, rx); returns (f', tot_u) with tot_u psum'd across the mesh —
     the analogue of the reference's distributed averageVelocity reduction
     (main/LbmAoS.cpp:25-93)."""
+    exchange_fn = EXCHANGES[exchange]
 
     def local_step(f_loc, mask_loc, amask_loc):
         _, h, w = f_loc.shape
-        ext = exchange_halos_2wave(f_loc)
+        ext = exchange_fn(f_loc)
         s = _stream_from_ext(ext, h, w)
         f_new, tot_loc = d2q9.collide(
             s, mask_loc, amask_loc,
@@ -108,7 +140,8 @@ def make_sharded_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "num_steps", "omega", "accel_w1", "accel_w2", "unroll"),
+    static_argnames=("mesh", "num_steps", "omega", "accel_w1", "accel_w2",
+                     "unroll", "exchange"),
 )
 def run_sharded(
     f: jax.Array,
@@ -121,10 +154,11 @@ def run_sharded(
     accel_w1: float,
     accel_w2: float,
     unroll: int = 1,
+    exchange: str = "ppermute",
 ):
     """Device-resident multi-chip scan over the explicit-halo step."""
     step_fn = make_sharded_step(
-        mesh, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2
+        mesh, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2, exchange=exchange
     )
 
     def body(carry, _):
@@ -163,11 +197,12 @@ def simulate_sharded(
     amask = d2q9.accel_row_mask(params.ny, params.nx, accel_row, dtype=f.dtype)
     amask = jax.device_put(amask, NamedSharding(mesh, P(ROW, None)))
 
-    if strategy == "ppermute":
+    if strategy in EXCHANGES:
         f_final, tot_u = run_sharded(
             f, obstacle_mask, amask,
             mesh=mesh, num_steps=params.max_iters,
             omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2, unroll=unroll,
+            exchange=strategy,
         )
     elif strategy == "implicit":
         f_final, tot_u = d2q9.run(

@@ -21,17 +21,26 @@ ROW_AXIS = "ry"
 COL_AXIS = "rx"
 
 
-def best_factorisation(n_devices: int, ny: int, nx: int) -> tuple[int, int]:
+def best_factorisation(
+    n_devices: int, ny: int, nx: int, *, require_even: bool = True
+) -> tuple[int, int]:
     """Pick (rows, cols) with rows*cols == n_devices minimising shard
     perimeter/area — the reference's row/col-imbalance heuristic
-    (StructuredGridUtils.hpp:489-520) recast for halo traffic."""
+    (StructuredGridUtils.hpp:489-520) recast for halo traffic.
+
+    require_even=True (the shard_map case) only admits factorisations that
+    divide the grid exactly; the planner (partition.py) can relax this, like
+    the reference's remainder-row strategies (StructuredGridUtils.hpp:309-412).
+    """
     best = (n_devices, 1)
     best_cost = math.inf
     for r in range(1, n_devices + 1):
         if n_devices % r:
             continue
         c = n_devices // r
-        if ny % r or nx % c:
+        if r > ny or c > nx:
+            continue
+        if require_even and (ny % r or nx % c):
             continue
         h, w = ny / r, nx / c
         cost = 1 / h + 1 / w  # halo cells per interior cell

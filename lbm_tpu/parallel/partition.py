@@ -77,7 +77,7 @@ def _split_even(n: int, parts: int) -> list[tuple[int, int]]:
 def partition_for_devices(ny: int, nx: int, n_devices: int) -> GridPartitioning:
     """Device-level block decomposition over the best rows x cols mesh shape
     (reference: grids::partitionForIpus, StructuredGridUtils.hpp:472-561)."""
-    r, c = mesh_lib.best_factorisation(n_devices, ny, nx)
+    r, c = mesh_lib.best_factorisation(n_devices, ny, nx, require_even=False)
     rows = _split_even(ny, r)
     cols = _split_even(nx, c)
     return {
