@@ -27,10 +27,10 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     p = Params(nx=1024, ny=1024, max_iters=iters, reynolds_dim=10,
                density=0.1, accel=0.005, omega=1.85)
-    import jax
+    import jax.numpy as jnp
 
-    f0 = np.asarray(state.initial_distributions(p, np.float32))
-    mask_f = np.zeros((p.ny, p.nx), np.float32)
+    f0 = jnp.asarray(state.initial_distributions(p, np.float32))
+    mask_f = jnp.zeros((p.ny, p.nx), jnp.float32)
     w1, w2 = d2q9.AccelWeights.from_params(p)
 
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")

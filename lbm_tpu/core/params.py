@@ -86,6 +86,16 @@ class Obstacles:
 
     @classmethod
     def from_file(cls, path: str | Path, params: Params) -> "Obstacles":
+        # fast path: native reader (native/lbmio.cpp); on any failure fall
+        # through to the pure-Python loader for its precise error messages
+        try:
+            from ..utils import native_io
+
+            native = native_io.load(auto_build=False)
+            if native is not None:
+                return cls(native.read_obstacles(str(path), params.ny, params.nx))
+        except Exception:
+            pass
         mask = np.zeros((params.ny, params.nx), dtype=np.bool_)
         for line in Path(path).read_text().splitlines():
             parts = line.split()

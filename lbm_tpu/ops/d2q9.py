@@ -63,7 +63,7 @@ def stream_pull(f: jax.Array) -> tuple[jax.Array, ...]:
     )
 
 
-def collide(
+def collide_fields(
     s: tuple[jax.Array, ...],
     obstacle_mask: jax.Array,
     accel_mask: jax.Array,
@@ -76,7 +76,9 @@ def collide(
 
     `s` are the nine post-streaming planes; `obstacle_mask` is bool;
     `accel_mask` is a {0,1} float plane (1 on the accelerated row, broadcastable).
-    Returns (f_new stacked (9, ny, nx), tot_u = sum over free cells of |u|).
+    Returns (f_new stacked (9, ny, nx), u_plane) where u_plane is |u| with
+    obstacle cells zeroed — callers reduce it themselves (the fused Pallas
+    kernels sum only their band's interior rows).
 
     Expression grouping mirrors main/LastChance.cpp:213-262 for float32
     fidelity with the golden data.
@@ -135,8 +137,25 @@ def collide(
     )
 
     zero = jnp.zeros((), dtype=u_sq.dtype)
-    tot_u = jnp.sum(jnp.where(obstacle_mask, zero, jnp.sqrt(u_sq)))
-    return f_new, tot_u
+    u_plane = jnp.where(obstacle_mask, zero, jnp.sqrt(u_sq))
+    return f_new, u_plane
+
+
+def collide(
+    s: tuple[jax.Array, ...],
+    obstacle_mask: jax.Array,
+    accel_mask: jax.Array,
+    *,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+):
+    """collide_fields with the |u| plane reduced to the scalar tot_u."""
+    f_new, u_plane = collide_fields(
+        s, obstacle_mask, accel_mask,
+        omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
+    )
+    return f_new, jnp.sum(u_plane)
 
 
 def accel_row_mask(ny: int, nx: int, accel_row: int, dtype=jnp.float32) -> jax.Array:

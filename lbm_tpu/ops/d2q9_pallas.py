@@ -1,23 +1,27 @@
-"""Fused D2Q9 collide-and-stream as a single Pallas TPU kernel.
+"""Fused D2Q9 collide-and-stream as a single Pallas TPU kernel, with
+K-deep temporal blocking.
 
 The TPU analogue of the reference's hot vertex `LbmTimeStepVertex`
-(main/codelets/D2Q9Codelets.cpp:94-191): one pass over HBM per timestep that
-performs pull-streaming, obstacle rebound, BGK collision, the accelerated-row
-force, and the partial |u| reduction — nothing intermediate ever returns to
-HBM.
+(main/codelets/D2Q9Codelets.cpp:94-191) and of its `two_timesteps` compiled
+program (main/LbmAoS.cpp:135-216): one pass over HBM performs K whole
+timesteps — pull-streaming, obstacle rebound, BGK collision, accelerated-row
+force and the per-step Sum|u| partial — with every intermediate lattice living
+only in VMEM.
 
 Decomposition (the analogue of the reference's tile mapping,
 main/include/StructuredGridUtils.hpp): the (9, H, W) state is processed in
-row *bands* of B rows. Band i needs one halo row above and below; those are
-fetched as 8-row sublane-aligned blocks of the same input with wraparound
-encoded in the BlockSpec index_map (`(i*B//8 - 1) % (H//8)`), so the pipeline
-DMAs only B+16 input rows per band instead of 3B — the "implicit halo"
-strategy that the reference's experiments found fastest
-(experiments/halo-exchange-approaches/results.csv). Column wraparound is a
-cheap in-VMEM `pltpu.roll` of full lanes.
+row *bands* of B rows. A K-step pass over band i needs K halo rows above and
+below (rows i*B-K .. i*B+B+K-1); these are fetched as 8-row sublane-aligned
+blocks of the same input with periodic wraparound encoded in the BlockSpec
+index_map (`(i*B//8 - 1) % (H//8)`), so the pipeline DMAs B+16 input rows and
+writes B rows per K steps — HBM traffic per step falls as 1/K, which is why
+K=2..4 beats the already-fused single-step kernel. Column wraparound is a
+cheap in-VMEM `pltpu.roll` of full lanes. Rows recomputed by adjacent bands
+(the 2(K-j) overlap rows of step j) are bit-identical, so the result equals K
+separate steps exactly.
 
-The per-band Sum|u| partial accumulates into a (1,1) SMEM output across the
-sequential TPU grid — the analogue of the reference's on-device
+The per-band per-step Sum|u| partials accumulate into a (1, K) SMEM output
+across the sequential TPU grid — the analogue of the reference's on-device
 popops::reduceWithOutput + AppendReducedSum pipeline (main/LbmSimple.cpp:28-97).
 """
 
@@ -34,6 +38,7 @@ from ..core.params import Params
 from . import d2q9
 
 DEF_VMEM_BUDGET = 64 * 1024 * 1024  # conservative per-core VMEM budget (bytes)
+MAX_STEPS_PER_PASS = 8  # halo blocks are 8 rows -> K <= 8
 
 
 def choose_band(h: int, w: int, vmem_budget: int = DEF_VMEM_BUDGET) -> int:
@@ -50,77 +55,96 @@ def choose_band(h: int, w: int, vmem_budget: int = DEF_VMEM_BUDGET) -> int:
     return best
 
 
-def _kernel(f_ref, prev_ref, next_ref, mask_ref, out_ref, tot_ref, *,
-            band: int, omega: float, accel_w1: float, accel_w2: float,
-            accel_row: int):
+def _kernel(f_ref, prev_ref, next_ref, mask_ref, mprev_ref, mnext_ref,
+            out_ref, tot_ref, *, band: int, k_steps: int, omega: float,
+            accel_w1: float, accel_w2: float, accel_row: int):
+    """K fused timesteps on one band. See module docstring for the scheme."""
     i = pl.program_id(0)
+    w = f_ref.shape[-1]
+    dt = f_ref.dtype
+    k = k_steps
 
-    cur = f_ref[:]            # (9, B, W)
-    above = prev_ref[:, 7, :]  # halo row below the band (row i*B - 1)
-    below = next_ref[:, 0, :]  # halo row above the band (row i*B + B)
-
-    # rows -1..B (inclusive) for each plane
-    ext = jnp.concatenate([above[:, None, :], cur, below[:, None, :]], axis=1)
-
-    def up(k):    # value pulled from row-1 (south neighbour)
-        return ext[k, 0:band, :]
-
-    def down(k):  # value pulled from row+1 (north neighbour)
-        return ext[k, 2 : band + 2, :]
-
-    def east(x):  # value pulled from col-1 (periodic)
+    def east(x):
         return pltpu.roll(x, 1, axis=x.ndim - 1)
 
-    def west(x):  # value pulled from col+1 (periodic); roll requires shift >= 0
-        return pltpu.roll(x, x.shape[-1] - 1, axis=x.ndim - 1)
+    def west(x):
+        return pltpu.roll(x, w - 1, axis=x.ndim - 1)
 
-    s = (
-        cur[0],
-        east(cur[1]),
-        up(2),
-        west(cur[3]),
-        down(4),
-        east(up(5)),
-        west(up(6)),
-        west(down(7)),
-        east(down(8)),
+    def streamed(ext, n_rows):
+        # ext has n_rows+2 rows; returns the 9 pulled planes on the
+        # n_rows-row interior region.
+        def up(q):
+            return ext[q, 0:n_rows, :]
+
+        def down(q):
+            return ext[q, 2 : n_rows + 2, :]
+
+        def mid(q):
+            return ext[q, 1 : n_rows + 1, :]
+
+        return (
+            mid(0), east(mid(1)), up(2), west(mid(3)), down(4),
+            east(up(5)), west(up(6)), west(down(7)), east(down(8)),
+        )
+
+    # state_0: rows i*B-K .. i*B+B+K-1  (band + 2K rows)
+    state = jnp.concatenate(
+        [prev_ref[:, 8 - k : 8, :], f_ref[:], next_ref[:, 0:k, :]], axis=1
     )
-
-    obstacle = mask_ref[:] != 0
-
-    # accelerated-row mask from global row index
-    rows = i * band + jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
-    amask = (rows == accel_row).astype(cur.dtype)
-
-    f_new, tot_u = d2q9.collide(
-        s, obstacle, amask, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2
-    )
-    out_ref[:] = f_new
+    # obstacle mask over the widest step-1 region: rows i*B-(K-1) .. i*B+B+K-2
+    if k > 1:
+        mask_wide = jnp.concatenate(
+            [mprev_ref[8 - (k - 1) : 8, :], mask_ref[:], mnext_ref[0 : k - 1, :]],
+            axis=0,
+        )
+    else:
+        mask_wide = mask_ref[:]
 
     @pl.when(i == 0)
     def _():
-        tot_ref[0, 0] = jnp.zeros((), cur.dtype)
+        for j in range(k):  # SMEM only accepts scalar stores
+            tot_ref[0, j] = jnp.zeros((), dt)
 
-    tot_ref[0, 0] += tot_u
+    for j in range(1, k + 1):
+        n_rows = band + 2 * (k - j)  # rows of this step's output region
+        lo = (k - 1) - (k - j)  # offset of the region within mask_wide
+        mask_j = mask_wide[lo : lo + n_rows, :] != 0
+        rows_j = (i * band - (k - j)) + jax.lax.broadcasted_iota(
+            jnp.int32, (n_rows, 1), 0
+        )
+        amask_j = (rows_j == accel_row).astype(dt)
+        state, u = d2q9.collide_fields(
+            streamed(state, n_rows), mask_j, amask_j,
+            omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
+        )
+        # Sum|u| over this band's own B rows only (the overlap rows belong
+        # to the neighbouring bands, which compute them identically).
+        interior = u[k - j : k - j + band, :]
+        tot_ref[0, j - 1] += jnp.sum(interior)
+
+    out_ref[:] = state
 
 
-@functools.lru_cache(maxsize=32)
-def _build_step(shape, dtype_name, band, omega, accel_w1, accel_w2, accel_row,
-                interpret):
+@functools.lru_cache(maxsize=64)
+def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
+                accel_row, interpret):
     ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if ny % band or band % 8:
         raise ValueError(f"band {band} must divide ny {ny} and be a multiple of 8")
+    if not 1 <= k_steps <= MAX_STEPS_PER_PASS:
+        raise ValueError(f"k_steps must be in 1..{MAX_STEPS_PER_PASS}")
+    if k_steps > 1 and ny < 2 * 8:
+        raise ValueError("k_steps > 1 needs at least two 8-row blocks")
     grid = ny // band
     nblk8 = ny // 8
     bb8 = band // 8
 
     kernel = functools.partial(
-        _kernel, band=band, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
-        accel_row=accel_row,
+        _kernel, band=band, k_steps=k_steps, omega=omega,
+        accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
     )
-
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -132,32 +156,36 @@ def _build_step(shape, dtype_name, band, omega, accel_w1, accel_w2, accel_row,
             pl.BlockSpec((9, 8, nx), lambda i: (0, (i * bb8 + bb8) % nblk8, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((band, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), lambda i: ((i * bb8 - 1) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), lambda i: ((i * bb8 + bb8) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((9, band, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k_steps), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, k_steps), dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=75 * ny * nx,
+            flops=k_steps * 75 * ny * nx,
             bytes_accessed=(2 * 9 + 1) * ny * nx * dtype.itemsize,
-            transcendentals=ny * nx,  # sqrt
+            transcendentals=k_steps * ny * nx,  # sqrt
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )
-    return call
 
 
-def step(
+def stepk(
     f: jax.Array,
     mask_f: jax.Array,
     *,
+    k_steps: int,
     omega: float,
     accel_w1: float,
     accel_w2: float,
@@ -165,25 +193,37 @@ def step(
     band: int | None = None,
     interpret: bool | None = None,
 ):
-    """One fused timestep. `mask_f` is the obstacle mask as {0,1} in f.dtype.
-    Returns (f_new, tot_u scalar)."""
+    """K fused timesteps in one HBM pass. `mask_f` is the obstacle mask as
+    {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,))."""
     _, ny, nx = f.shape
     if band is None:
         band = choose_band(ny, nx)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     call = _build_step(
-        (ny, nx), jnp.dtype(f.dtype).name, band, float(omega),
+        (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
     )
-    f_new, tot = call(f, f, f, mask_f)
-    return f_new, tot[0, 0]
+    f_new, tots = call(f, f, f, mask_f, mask_f, mask_f)
+    return f_new, tots[0]
+
+
+def step(f, mask_f, **kw):
+    """One fused timestep. Returns (f', tot_u scalar)."""
+    f_new, tots = stepk(f, mask_f, k_steps=1, **kw)
+    return f_new, tots[0]
+
+
+def step2(f, mask_f, **kw):
+    """Two fused timesteps per HBM pass (the reference's `two_timesteps`
+    analogue). Returns (f'', tot_u (2,))."""
+    return stepk(f, mask_f, k_steps=2, **kw)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "omega", "accel_w1", "accel_w2", "accel_row",
-                     "band", "interpret"),
+    static_argnames=("num_steps", "k_steps", "omega", "accel_w1", "accel_w2",
+                     "accel_row", "band", "interpret"),
 )
 def run(
     f: jax.Array,
@@ -194,24 +234,39 @@ def run(
     accel_w1: float,
     accel_w2: float,
     accel_row: int,
+    k_steps: int = 1,
     band: int | None = None,
     interpret: bool | None = None,
 ):
-    """`num_steps` Pallas timesteps under one lax.scan (device-resident loop)."""
+    """`num_steps` fused timesteps under one lax.scan (device-resident loop),
+    `k_steps` of them per HBM pass. num_steps must be a multiple of k_steps.
+    Returns (f_final, tot_u of shape (num_steps,))."""
+    if num_steps % k_steps:
+        raise ValueError(f"num_steps {num_steps} not a multiple of k_steps {k_steps}")
 
     def body(carry, _):
-        f_new, tot_u = step(
-            carry, mask_f, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
-            accel_row=accel_row, band=band, interpret=interpret,
+        f_new, tots = stepk(
+            carry, mask_f, k_steps=k_steps, omega=omega, accel_w1=accel_w1,
+            accel_w2=accel_w2, accel_row=accel_row, band=band,
+            interpret=interpret,
         )
-        return f_new, tot_u
+        return f_new, tots
 
-    return jax.lax.scan(body, f, None, length=num_steps)
+    f_final, tots = jax.lax.scan(body, f, None, length=num_steps // k_steps)
+    return f_final, tots.reshape(num_steps)
 
 
-def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array, **kw):
+def run2(f, mask_f, **kw):
+    """run with the double-step kernel (kept for API parity)."""
+    return run(f, mask_f, k_steps=2, **kw)
+
+
+def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,
+             k_steps: int | None = None, **kw):
     """Reference-semantics full simulation on the Pallas engine.
-    Same contract as d2q9.simulate."""
+    Same contract as d2q9.simulate. Defaults to the deepest temporal blocking
+    that divides max_iters (<= 4), like the reference's
+    Repeat(maxIters/2, two_timesteps) (main/LbmAoS.cpp:354-356)."""
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
     obstacle_mask = jnp.asarray(obstacle_mask)
@@ -220,9 +275,15 @@ def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array, **kw):
         accel_w1=aw.w1, accel_w2=aw.w2,
     )
     mask_f = obstacle_mask.astype(f.dtype)
+    if k_steps is None:
+        k_steps = next(
+            (k for k in (4, 2, 1) if params.max_iters % k == 0 and params.ny >= 16),
+            1,
+        )
     f_final, tot_u = run(
         f, mask_f, num_steps=params.max_iters, omega=params.omega,
-        accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row, **kw,
+        accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row,
+        k_steps=k_steps, **kw,
     )
     num_free = jnp.asarray((~obstacle_mask).sum(), dtype=f.dtype)
     return f_final, tot_u / num_free

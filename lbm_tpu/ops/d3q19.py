@@ -1,0 +1,180 @@
+"""D3Q19 BGK lattice-Boltzmann: the 3-D generalisation of the D2Q9 engine.
+
+The stretch goal from BASELINE.json config 5 — the reference is 2-D only, so
+this module generalises the same fused collide-and-stream design (pull
+streaming via rolls, bounce-back rebound, BGK collision, accelerated-plane
+body force, per-step Sum|u|) to the standard 19-velocity 3-D lattice.
+
+State: (19, nz, ny, nx). Axis order (z, y, x); speed k has unit velocity
+E[k] = (dz, dy, dx). Weights: 1/3 (rest), 1/18 (6 axis), 1/36 (12 edge).
+The accelerated-plane force generalises the reference's accelerated row
+(main/LastChance.cpp:158-183): speed k on the target z-plane gains
+sign(e_x[k]) * rho * accel * W[k].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_E = [(0, 0, 0)]
+_E += [(0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0), (1, 0, 0), (-1, 0, 0)]
+_E += [
+    (0, 1, 1), (0, 1, -1), (0, -1, 1), (0, -1, -1),
+    (1, 0, 1), (1, 0, -1), (-1, 0, 1), (-1, 0, -1),
+    (1, 1, 0), (1, -1, 0), (-1, 1, 0), (-1, -1, 0),
+]
+E = np.array(_E, dtype=np.int32)  # (19, 3) as (dz, dy, dx)
+W = np.array([1 / 3] + [1 / 18] * 6 + [1 / 36] * 12)
+OPPOSITE = np.array(
+    [int(np.where((E == -E[k]).all(axis=1))[0][0]) for k in range(19)],
+    dtype=np.int32,
+)
+NUM_SPEEDS = 19
+
+
+def initial_distributions(nz: int, ny: int, nx: int, density: float = 0.1,
+                          dtype=np.float32) -> np.ndarray:
+    f = np.empty((NUM_SPEEDS, nz, ny, nx), dtype=dtype)
+    for k in range(NUM_SPEEDS):
+        f[k] = dtype(density * W[k])
+    return f
+
+
+def stream_pull(f: jax.Array) -> list[jax.Array]:
+    """Periodic pull: speed k at x comes from x - e_k."""
+    return [
+        jnp.roll(f[k], tuple(int(d) for d in E[k]), axis=(-3, -2, -1))
+        if E[k].any() else f[k]
+        for k in range(NUM_SPEEDS)
+    ]
+
+
+def collide_fields(
+    s: list[jax.Array],
+    obstacle_mask: jax.Array,
+    accel_mask: jax.Array,
+    *,
+    omega: float,
+    density: float,
+    accel: float,
+):
+    """BGK collide + bounce-back + accelerated-plane force on streamed planes.
+    Returns (f_new (19,...), u_plane |u| with obstacles zeroed)."""
+    dt = s[0].dtype
+    rho = functools.reduce(jnp.add, s)
+    u_x = functools.reduce(
+        jnp.add, (int(E[k, 2]) * s[k] for k in range(NUM_SPEEDS) if E[k, 2])
+    ) / rho
+    u_y = functools.reduce(
+        jnp.add, (int(E[k, 1]) * s[k] for k in range(NUM_SPEEDS) if E[k, 1])
+    ) / rho
+    u_z = functools.reduce(
+        jnp.add, (int(E[k, 0]) * s[k] for k in range(NUM_SPEEDS) if E[k, 0])
+    ) / rho
+    u_sq = u_x * u_x + u_y * u_y + u_z * u_z
+    c_sq = 1.0 - u_sq * 1.5
+    one_minus_omega = 1.0 - omega
+
+    outs = []
+    for k in range(NUM_SPEEDS):
+        eu = 0.0
+        if E[k, 2]:
+            eu = eu + int(E[k, 2]) * u_x
+        if E[k, 1]:
+            eu = eu + int(E[k, 1]) * u_y
+        if E[k, 0]:
+            eu = eu + int(E[k, 0]) * u_z
+        wk = float(W[k])
+        if isinstance(eu, float):  # rest speed
+            feq_term = wk * rho * omega * c_sq
+        else:
+            # w rho omega (c_sq + 3 eu + 4.5 eu^2), in the reference's
+            # rearranged (4.5 eu)(2/3 + eu) + c_sq form
+            feq_term = wk * rho * omega * ((4.5 * eu) * (2.0 / 3.0 + eu) + c_sq)
+        out = s[k] * one_minus_omega + feq_term
+        if E[k, 2]:  # accelerated-plane force on x-moving speeds
+            out = out + accel_mask * (int(E[k, 2]) * (density * accel * wk))
+        outs.append(out)
+
+    f_new = jnp.stack(
+        [jnp.where(obstacle_mask, s[int(OPPOSITE[k])], outs[k])
+         for k in range(NUM_SPEEDS)]
+    )
+    zero = jnp.zeros((), dt)
+    u_plane = jnp.where(obstacle_mask, zero, jnp.sqrt(u_sq))
+    return f_new, u_plane
+
+
+def step(
+    f: jax.Array,
+    obstacle_mask: jax.Array,
+    accel_mask: jax.Array,
+    *,
+    omega: float,
+    density: float,
+    accel: float,
+):
+    s = stream_pull(f)
+    f_new, u = collide_fields(
+        s, obstacle_mask, accel_mask, omega=omega, density=density, accel=accel
+    )
+    return f_new, jnp.sum(u)
+
+
+def accel_plane_mask(nz: int, ny: int, nx: int, plane_z: int,
+                     dtype=jnp.float32) -> jax.Array:
+    zs = jnp.arange(nz, dtype=jnp.int32)
+    return (zs == plane_z).astype(dtype)[:, None, None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "omega", "density", "accel")
+)
+def run(
+    f: jax.Array,
+    obstacle_mask: jax.Array,
+    accel_mask: jax.Array,
+    *,
+    num_steps: int,
+    omega: float,
+    density: float,
+    accel: float,
+):
+    def body(carry, _):
+        f_new, tot = step(
+            carry, obstacle_mask, accel_mask,
+            omega=omega, density=density, accel=accel,
+        )
+        return f_new, tot
+
+    return jax.lax.scan(body, f, None, length=num_steps)
+
+
+def simulate(
+    nz: int, ny: int, nx: int, *,
+    num_steps: int,
+    omega: float = 1.85,
+    density: float = 0.1,
+    accel: float = 0.005,
+    obstacle_mask=None,
+    dtype=np.float32,
+):
+    """Lid-driven-style 3-D run: accelerated plane at z = nz-2, walls at
+    z = 0 and z = nz-1 (the 3-D analogue of the shipped 2-D configs)."""
+    f = jnp.asarray(initial_distributions(nz, ny, nx, density, dtype))
+    if obstacle_mask is None:
+        obstacle_mask = np.zeros((nz, ny, nx), bool)
+        obstacle_mask[0] = True
+        obstacle_mask[-1] = True
+    obstacle_mask = jnp.asarray(obstacle_mask)
+    amask = accel_plane_mask(nz, ny, nx, nz - 2, dtype=f.dtype)
+    f_final, tot = run(
+        f, obstacle_mask, amask,
+        num_steps=num_steps, omega=omega, density=density, accel=accel,
+    )
+    num_free = jnp.asarray((~obstacle_mask).sum(), dtype=f.dtype)
+    return f_final, tot / num_free

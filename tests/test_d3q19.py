@@ -1,0 +1,80 @@
+"""D3Q19 engine tests: lattice wiring, conservation, physics sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.ops import d3q19
+
+RNG = np.random.default_rng(19)
+
+
+def test_lattice_constants():
+    assert d3q19.E.shape == (19, 3)
+    assert abs(d3q19.W.sum() - 1.0) < 1e-12
+    # opposite speeds really are opposite
+    for k in range(19):
+        np.testing.assert_array_equal(d3q19.E[d3q19.OPPOSITE[k]], -d3q19.E[k])
+    # isotropy: sum w_i e_ia e_ib = (1/3) delta_ab
+    m = (d3q19.W[:, None, None] * d3q19.E[:, :, None] * d3q19.E[:, None, :]).sum(0)
+    np.testing.assert_allclose(m, np.eye(3) / 3, atol=1e-12)
+
+
+def test_streaming_moves_marker():
+    f = np.zeros((19, 4, 4, 4), np.float32)
+    for k in range(1, 19):
+        f[:] = 0
+        f[k, 1, 2, 3] = 5.0
+        s = d3q19.stream_pull(jnp.asarray(f))
+        dz, dy, dx = d3q19.E[k]
+        assert float(s[k][(1 + dz) % 4, (2 + dy) % 4, (3 + dx) % 4]) == 5.0
+
+
+def test_equilibrium_is_stationary():
+    """A uniform zero-velocity state is a fixed point (no accel)."""
+    with jax.enable_x64(True):
+        f = jnp.asarray(d3q19.initial_distributions(4, 4, 8, 0.1, np.float64))
+        mask = jnp.zeros((4, 4, 8), bool)
+        amask = jnp.zeros((4, 1, 1), jnp.float64)
+        f2, tot = d3q19.step(f, mask, amask, omega=1.85, density=0.1, accel=0.0)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f), rtol=1e-12)
+    assert float(tot) < 1e-12  # |u| is sqrt of ~1e-34 rounding noise
+
+
+def test_mass_and_momentum_conserved():
+    f = RNG.uniform(0.01, 1.0, size=(19, 4, 6, 8)).astype(np.float64)
+    with jax.enable_x64(True):
+        mask = jnp.zeros((4, 6, 8), bool)
+        amask = jnp.zeros((4, 1, 1), jnp.float64)
+        f2, _ = d3q19.step(jnp.asarray(f), mask, amask,
+                           omega=1.85, density=0.1, accel=0.0)
+    f2 = np.asarray(f2)
+    np.testing.assert_allclose(f2.sum(), f.sum(), rtol=1e-12)
+    for axis_idx in range(3):
+        e = d3q19.E[:, axis_idx][:, None, None, None]
+        np.testing.assert_allclose(
+            (f2 * e).sum(), (f * e).sum(), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_rebound_on_obstacles():
+    f = RNG.uniform(0.01, 1.0, size=(19, 3, 3, 3)).astype(np.float32)
+    mask = np.ones((3, 3, 3), bool)
+    amask = jnp.zeros((3, 1, 1), jnp.float32)
+    f2, tot = d3q19.step(jnp.asarray(f), jnp.asarray(mask), amask,
+                         omega=1.85, density=0.1, accel=0.0)
+    f2 = np.asarray(f2)
+    s = np.stack([np.asarray(x) for x in d3q19.stream_pull(jnp.asarray(f))])
+    for k in range(19):
+        np.testing.assert_array_equal(f2[k], s[d3q19.OPPOSITE[k]])
+    assert float(tot) == 0.0
+
+
+def test_simulate_develops_flow():
+    """The accelerated plane drives increasing mean velocity, no NaNs."""
+    f_final, av = d3q19.simulate(8, 8, 16, num_steps=50)
+    av = np.asarray(av)
+    assert np.all(np.isfinite(av))
+    # step 1 measures u before the first force application -> av[0] == 0
+    assert av[-1] > av[5] > 0
+    assert np.all(np.isfinite(np.asarray(f_final)))
