@@ -2,11 +2,16 @@
 
 Usage:
     python -m lbm_tpu.cli.lbm --params params/input_128x128.params \
-        --obstacles params/obstacles_128x128.dat [--engine jax|pallas]
+        --obstacles params/obstacles_128x128.dat [--engine jax|pallas|sharded]
         [--dtype float32|float64|bfloat16] [--device cpu|tpu] [--out-dir .]
+        [--num-devices N --strategy implicit|ppermute|allgather]
+        [--compile-only] [--trace-dir DIR] [--cache-dir DIR]
+        [--partition-json FILE] [--debug-nans]
 
-The analogue of the reference driver CLIs (main/LbmAoS.cpp:224-245).
-`--device cpu` + `--dtype float64` reproduces the golden data to ~1e-13.
+The analogue of the reference driver CLIs (main/LbmAoS.cpp:224-245, plus the
+AOT --compile-only mode of main/GaussianBlurLowLevel.cpp:263-279 and the
+partitioning.json dump of main/LbmSimple.cpp:492).
+`--device cpu --dtype float64` reproduces the golden data to ~1e-13.
 """
 
 from __future__ import annotations
@@ -18,15 +23,33 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="TPU-native D2Q9 LBM")
     parser.add_argument("--params", required=True, help="7-line .params file")
     parser.add_argument("--obstacles", required=True, help="obstacle .dat file")
-    parser.add_argument("--engine", default="jax", choices=["jax", "pallas"])
+    parser.add_argument("--engine", default="jax",
+                        choices=["jax", "pallas", "sharded"])
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64", "bfloat16"])
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],
                         help="force a JAX platform (default: best available)")
     parser.add_argument("--num-steps", type=int, default=None,
                         help="override max_iters from the params file")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="devices for --engine sharded (default: all)")
+    parser.add_argument("--strategy", default="ppermute",
+                        choices=["implicit", "ppermute", "allgather"],
+                        help="halo-exchange strategy for --engine sharded")
     parser.add_argument("--out-dir", default=".")
+    parser.add_argument("--compile-only", action="store_true",
+                        help="AOT-compile the step and exit (no simulation)")
+    parser.add_argument("--trace-dir", default=None,
+                        help="capture a jax.profiler trace of the run")
+    parser.add_argument("--cache-dir", default=None,
+                        help="persistent compilation-cache directory")
+    parser.add_argument("--partition-json", default=None,
+                        help="dump the device partitioning as JSON")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="trap NaNs (FP-exception analogue)")
     args = parser.parse_args(argv)
+
+    import contextlib
 
     import jax
 
@@ -36,21 +59,100 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
+    import numpy as np
 
     from ..core.params import Obstacles, Params
     from ..models import lbm as lbm_model
+    from ..utils import profiling
+
+    if args.cache_dir:
+        profiling.enable_compilation_cache(args.cache_dir)
+    if args.debug_nans:
+        profiling.enable_nan_debugging()
 
     params = Params.from_file(args.params)
     obstacles = Obstacles.from_file(args.obstacles, params)
-    dtype = {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[args.dtype]
+    dtype = {"float32": jnp.float32, "float64": jnp.float64,
+             "bfloat16": jnp.bfloat16}[args.dtype]
 
-    result = lbm_model.run_simulation(
-        params, obstacles, dtype=dtype, engine=args.engine, num_steps=args.num_steps
-    )
+    if args.partition_json:
+        from ..parallel import partition
+
+        n = args.num_devices or len(jax.devices())
+        part = partition.partition_for_devices(params.ny, params.nx, n)
+        partition.serialize_to_json(part, args.partition_json)
+        print(f"wrote {args.partition_json}")
+
+    if args.compile_only:
+        from ..core import state
+        from ..ops import d2q9
+
+        aw = d2q9.AccelWeights.from_params(params)
+        f0 = jnp.asarray(state.initial_distributions(params, np.dtype(dtype)))
+        mask = jnp.asarray(obstacles.mask)
+        amask = d2q9.accel_row_mask(params.ny, params.nx, params.ny - 2,
+                                    dtype=f0.dtype)
+
+        def step_fn(f):
+            return d2q9.step(f, mask, amask, omega=params.omega,
+                             accel_w1=aw.w1, accel_w2=aw.w2)
+
+        with profiling.timed("AOT compile"):
+            compiled = profiling.aot_compile(step_fn, f0)
+        print(f"flops/step (XLA estimate): {compiled.cost_analysis().get('flops', 0):.3e}")
+        return 0
+
+    trace_ctx = (profiling.trace(args.trace_dir) if args.trace_dir
+                 else contextlib.nullcontext())
+    with trace_ctx:
+        if args.engine == "sharded":
+            result = _run_sharded(params, obstacles, dtype, args)
+        else:
+            result = lbm_model.run_simulation(
+                params, obstacles, dtype=dtype, engine=args.engine,
+                num_steps=args.num_steps,
+            )
     lbm_model.print_summary(result)
     av_path, fs_path = lbm_model.write_outputs(result, params, obstacles, args.out_dir)
     print(f"wrote {av_path} and {fs_path}")
     return 0
+
+
+def _run_sharded(params, obstacles, dtype, args):
+    import dataclasses
+    import time
+
+    import jax
+    import numpy as np
+
+    from ..core import state
+    from ..core.params import reynolds_number
+    from ..models.lbm import LbmResult
+    from ..parallel import halo, mesh as mesh_lib
+
+    p = (params if args.num_steps is None
+         else dataclasses.replace(params, max_iters=args.num_steps))
+    n = args.num_devices or len(jax.devices())
+    mesh = mesh_lib.make_mesh(n, p.ny, p.nx)
+    f0 = state.initial_distributions(p, np.dtype(dtype))
+
+    f_final, av = halo.simulate_sharded(p, f0, obstacles.mask, mesh,
+                                        strategy=args.strategy)
+    np.asarray(av)  # materialize = compile+warm
+    t0 = time.perf_counter()
+    f_final, av = halo.simulate_sharded(p, f0, obstacles.mask, mesh,
+                                        strategy=args.strategy)
+    av_np = np.asarray(av, dtype=np.float64)
+    compute_seconds = time.perf_counter() - t0
+
+    f_np = np.asarray(f_final)
+    return LbmResult(
+        f_final=f_np,
+        av_vels=av_np,
+        compute_seconds=compute_seconds,
+        reynolds=reynolds_number(p, float(av_np[-1])),
+        total_density=state.total_density(f_np),
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,84 @@
+"""Profiling, tracing and AOT-compilation utilities.
+
+TPU recast of the reference's observability stack (SURVEY.md section 5):
+  * `timed` — wall-clock step timing (utils::timedStep,
+    main/include/GraphcoreUtils.hpp:130-138)
+  * `trace` — jax.profiler traces, the analogue of Poplar engine
+    instrumentation + graph.json/execution.json capture
+    (GraphcoreUtils.hpp:27-66)
+  * `dump_hlo` — compiler-IR dump, the analogue of DUMP_GRAPH_VIZ
+    vertexgraph.dot / serialized capnp graphs (main/LbmAoS.cpp:374-389)
+  * `enable_compilation_cache` / `aot_compile` — persistent compiled
+    executables, the analogue of poplar::compileGraph + exe->serialize /
+    Executable::deserialize AOT split (main/LbmPoplibs.cpp:376-389,
+    main/LbmRunner.cpp:76-84)
+  * `enable_nan_debugging` — the setFloatingPointBehaviour FP-trap analogue
+    (main/LbmAoS.cpp:350-351)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+
+@contextlib.contextmanager
+def timed(description: str, file=sys.stderr):
+    """Print '<description> took Xs' like the reference's timedStep."""
+    t0 = time.perf_counter()
+    yield
+    print(f"{description} took {time.perf_counter() - t0:.4f}s", file=file)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | Path):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    with jax.profiler.trace(str(log_dir)):
+        yield
+
+
+def dump_hlo(fn, *args, path: str | Path | None = None, optimized: bool = False,
+             **kw) -> str:
+    """Return (and optionally write) the HLO for fn(*args)."""
+    lowered = jax.jit(fn).lower(*args, **kw)
+    text = (
+        lowered.compile().as_text() if optimized else lowered.as_text()
+    )
+    if path is not None:
+        Path(path).write_text(text)
+    return text
+
+
+def enable_compilation_cache(cache_dir: str | Path) -> None:
+    """Persistent on-disk compilation cache: compiled executables survive
+    process restarts (the AOT serialize/deserialize analogue)."""
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def aot_compile(fn, *args, **kw):
+    """Ahead-of-time lower+compile; returns the compiled executable with
+    cost analysis attached (reference: --compile-only mode,
+    main/GaussianBlurLowLevel.cpp:263-279)."""
+    return jax.jit(fn).lower(*args, **kw).compile()
+
+
+def enable_nan_debugging() -> None:
+    """Trap NaNs in every jitted computation (the FP-exception analogue)."""
+    jax.config.update("jax_debug_nans", True)
+
+
+def device_memory_stats() -> dict:
+    """Per-device memory statistics (bytes), where the backend reports them."""
+    out = {}
+    for d in jax.devices():
+        try:
+            out[str(d)] = d.memory_stats()
+        except Exception:
+            out[str(d)] = None
+    return out
