@@ -6,51 +6,89 @@ Prints exactly one JSON line:
 
 Baseline is the rebuild north-star from BASELINE.json: >=2000 MLUPS/chip at
 1024x1024 with av_vels tracking the reference golden data. The benchmark
-first gates on correctness (100-step av_vels prefix vs check/ golden within
-f32 drift), then times the fastest engine over NUM_STEPS device-resident
-steps.
+gates on correctness (100-step av_vels prefix vs check/ golden), then times
+the engines:
+  * jax        — pure-XLA fused step (fast compile, ~5300 MLUPS)
+  * pallas_k4  — K=4 temporal-blocking Pallas kernel (~9400 MLUPS), whose
+                 Mosaic compile can take minutes cold, so it runs in a
+                 timeout-guarded subprocess backed by a persistent
+                 compilation cache (.jax_cache/).
+
+NB: on the remote-tunnel TPU platform block_until_ready does not flush
+execution; fetching results (np.asarray) is the only honest barrier.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 NUM_STEPS = 2000
-WARMUP_STEPS = NUM_STEPS  # same jit cache entry; see time_engine note
 BASELINE_MLUPS = 2000.0
+REF = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+PALLAS_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PALLAS_TIMEOUT", "480"))
 
 
-def main() -> int:
+def _setup():
     import jax
     import jax.numpy as jnp
 
-    from lbm_tpu.core import io, state
+    from lbm_tpu.core import state
     from lbm_tpu.core.params import Obstacles, Params
-    from lbm_tpu.ops import d2q9, d2q9_pallas
+    from lbm_tpu.ops import d2q9
+    from lbm_tpu.utils import profiling
 
-    ref = "/root/reference"
-    p = Params.from_file(f"{ref}/params/input_1024x1024.params")
-    obs = Obstacles.from_file(f"{ref}/params/obstacles_1024x1024.dat", p)
+    profiling.enable_compilation_cache(CACHE_DIR)
 
+    p = Params.from_file(f"{REF}/params/input_1024x1024.params")
+    obs = Obstacles.from_file(f"{REF}/params/obstacles_1024x1024.dat", p)
     f0 = jnp.asarray(state.initial_distributions(p, np.float32))
     mask = jnp.asarray(obs.mask)
-    mask_f = mask.astype(jnp.float32)
     aw = d2q9.AccelWeights.from_params(p)
     accel_row = p.ny - 2
     amask = d2q9.accel_row_mask(p.ny, p.nx, accel_row)
     f_start = d2q9.first_accelerate(f0, mask, accel_row=accel_row,
                                     accel_w1=aw.w1, accel_w2=aw.w2)
+    return p, obs, f_start, mask, aw, accel_row, amask
+
+
+def _time_runner(runner):
+    np.asarray(runner(NUM_STEPS)[1])  # compile + warmup (same jit cache key)
+    t0 = time.perf_counter()
+    np.asarray(runner(NUM_STEPS)[1])  # forces the whole scan
+    return time.perf_counter() - t0
+
+
+def pallas_only() -> int:
+    """Subprocess entry: print seconds for the pallas_k4 engine."""
+    from lbm_tpu.ops import d2q9_pallas
+
+    p, obs, f_start, mask, aw, accel_row, amask = _setup()
+    mask_f = mask.astype(f_start.dtype)
+    dt = _time_runner(lambda n: d2q9_pallas.run(
+        f_start, mask_f, num_steps=n, omega=p.omega,
+        accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row,
+        band=128, k_steps=4))
+    print(json.dumps({"seconds": dt}))
+    return 0
+
+
+def main() -> int:
+    from lbm_tpu.core import io
+    from lbm_tpu.ops import d2q9
+
+    p, obs, f_start, mask, aw, accel_row, amask = _setup()
 
     # --- correctness gate: 100-step av_vels prefix vs golden (f64 data) ---
-    import dataclasses
-
-    golden = io.read_av_vels(f"{ref}/check/1024x1024.av_vels.dat")
+    golden = io.read_av_vels(f"{REF}/check/1024x1024.av_vels.dat")
     n_check = 100
     _, tot = d2q9.run(f_start, mask, amask, num_steps=n_check, omega=p.omega,
                       accel_w1=aw.w1, accel_w2=aw.w2)
-    av = np.asarray(tot, np.float64) / float((~obs.mask).sum())
+    av = np.asarray(tot, np.float64) / float((~np.asarray(mask)).sum())
     rel = np.abs(av - golden[:n_check]) / golden[:n_check]
     if rel.max() > 1e-3:
         print(json.dumps({
@@ -60,29 +98,30 @@ def main() -> int:
         }))
         return 1
 
-    # --- timing: pick the fastest engine ---
-    # NB: on the remote-tunnel TPU platform block_until_ready does not flush
-    # execution; fetching the per-step sums (np.asarray) is the only honest
-    # barrier, so warm up with the same step count (same jit cache entry)
-    # and time a second full run.
-    def time_engine(runner):
-        np.asarray(runner(NUM_STEPS)[1])  # compile + warmup
-        t0 = time.perf_counter()
-        np.asarray(runner(NUM_STEPS)[1])  # forces the whole scan
-        return time.perf_counter() - t0
+    results = {}
+    results["jax"] = _time_runner(lambda n: d2q9.run(
+        f_start, mask, amask, num_steps=n, omega=p.omega,
+        accel_w1=aw.w1, accel_w2=aw.w2))
 
-    engines = {
-        "jax": lambda n: d2q9.run(
-            f_start, mask, amask, num_steps=n, omega=p.omega,
-            accel_w1=aw.w1, accel_w2=aw.w2),
-        "pallas": lambda n: d2q9_pallas.run(
-            f_start, mask_f, num_steps=n, omega=p.omega,
-            accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row, band=256),
-    }
-    results = {name: time_engine(fn) for name, fn in engines.items()}
+    # pallas in a timeout-guarded subprocess (cold Mosaic compile can be slow)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pallas-only"],
+            capture_output=True, text=True, timeout=PALLAS_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                results["pallas_k4"] = json.loads(line)["seconds"]
+                break
+    except (subprocess.TimeoutExpired, Exception):
+        pass
+
     best_name = min(results, key=results.get)
     dt = results[best_name]
     mlups = NUM_STEPS * p.nx * p.ny / dt / 1e6
+
+    import jax
 
     print(json.dumps({
         "metric": "MLUPS/chip @1024x1024 D2Q9 f32",
@@ -98,4 +137,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(pallas_only() if "--pallas-only" in sys.argv else main())

@@ -55,11 +55,23 @@ def choose_band(h: int, w: int, vmem_budget: int = DEF_VMEM_BUDGET) -> int:
     return best
 
 
-def _kernel(f_ref, prev_ref, next_ref, mask_ref, mprev_ref, mnext_ref,
-            out_ref, tot_ref, *, band: int, k_steps: int, omega: float,
-            accel_w1: float, accel_w2: float, accel_row: int):
-    """K fused timesteps on one band. See module docstring for the scheme."""
+def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
+            mnext_ref, out_ref, tot_ref, *, band: int, k_steps: int,
+            omega: float, accel_w1: float, accel_w2: float, accel_row: int):
+    """K fused timesteps on one band. See module docstring for the scheme.
+
+    scal_ref (SMEM int32 (1,4)) holds (row_offset, valid_lo, valid_hi,
+    global_ny): row_offset maps local row index -> global row (nonzero when
+    the array is a shard's ghost-extended block, parallel/pallas_sharded.py);
+    rows outside [valid_lo, valid_hi) are ghost duplicates excluded from the
+    Sum|u|; the accelerated-row test is taken mod global_ny so wrapped /
+    ghost copies of the accelerated row receive the force too.
+    """
     i = pl.program_id(0)
+    row_offset = scal_ref[0, 0]
+    valid_lo = scal_ref[0, 1]
+    valid_hi = scal_ref[0, 2]
+    global_ny = scal_ref[0, 3]
     w = f_ref.shape[-1]
     dt = f_ref.dtype
     k = k_steps
@@ -105,22 +117,29 @@ def _kernel(f_ref, prev_ref, next_ref, mask_ref, mprev_ref, mnext_ref,
         for j in range(k):  # SMEM only accepts scalar stores
             tot_ref[0, j] = jnp.zeros((), dt)
 
+    band_rows = i * band + jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
+    valid_rows = ((band_rows >= valid_lo) & (band_rows < valid_hi))
+
     for j in range(1, k + 1):
         n_rows = band + 2 * (k - j)  # rows of this step's output region
         lo = (k - 1) - (k - j)  # offset of the region within mask_wide
         mask_j = mask_wide[lo : lo + n_rows, :] != 0
-        rows_j = (i * band - (k - j)) + jax.lax.broadcasted_iota(
+        rows_j = (i * band - (k - j) + row_offset) + jax.lax.broadcasted_iota(
             jnp.int32, (n_rows, 1), 0
         )
-        amask_j = (rows_j == accel_row).astype(dt)
+        # mod global_ny: overlap/ghost rows are wrapped copies and must see
+        # the same force as the rows they duplicate
+        amask_j = (jnp.mod(rows_j, global_ny) == accel_row).astype(dt)
         state, u = d2q9.collide_fields(
             streamed(state, n_rows), mask_j, amask_j,
             omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
         )
-        # Sum|u| over this band's own B rows only (the overlap rows belong
-        # to the neighbouring bands, which compute them identically).
+        # Sum|u| over this band's own valid B rows only (overlap rows belong
+        # to the neighbouring bands; ghost rows duplicate other shards).
         interior = u[k - j : k - j + band, :]
-        tot_ref[0, j - 1] += jnp.sum(interior)
+        tot_ref[0, j - 1] += jnp.sum(
+            jnp.where(valid_rows, interior, jnp.zeros((), dt))
+        )
 
     out_ref[:] = state
 
@@ -148,6 +167,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
         kernel,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((9, band, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             # 8-row block whose LAST row is global row i*B - 1 (periodic)
             pl.BlockSpec((9, 8, nx), lambda i: (0, (i * bb8 - 1) % nblk8, 0),
@@ -192,19 +212,35 @@ def stepk(
     accel_row: int,
     band: int | None = None,
     interpret: bool | None = None,
+    row_offset: jax.Array | int = 0,
+    valid_rows: tuple | None = None,
+    global_ny: int | None = None,
 ):
     """K fused timesteps in one HBM pass. `mask_f` is the obstacle mask as
-    {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,))."""
+    {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,)).
+
+    row_offset / valid_rows support ghost-extended shard blocks (see
+    parallel/pallas_sharded.py): local row r is global row r + row_offset,
+    and only local rows in [valid_rows) contribute to the Sum|u|.
+    """
     _, ny, nx = f.shape
     if band is None:
         band = choose_band(ny, nx)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if valid_rows is None:
+        valid_rows = (0, ny)
     call = _build_step(
         (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
     )
-    f_new, tots = call(f, f, f, mask_f, mask_f, mask_f)
+    scal = jnp.stack(
+        [jnp.asarray(row_offset, jnp.int32),
+         jnp.asarray(valid_rows[0], jnp.int32),
+         jnp.asarray(valid_rows[1], jnp.int32),
+         jnp.asarray(global_ny if global_ny is not None else ny, jnp.int32)]
+    ).reshape(1, 4)
+    f_new, tots = call(scal, f, f, f, mask_f, mask_f, mask_f)
     return f_new, tots[0]
 
 

@@ -1,0 +1,102 @@
+"""Communication-avoiding distributed Pallas path vs the global engine.
+
+Exactness claim under test: with 8-row ghost bands exchanged once per K
+steps, every shard's own rows match the global single-device evolution
+bit-for-bit-ish (f32 fusion noise) for K <= 8.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.core import io, state
+from lbm_tpu.core.params import Obstacles, Params
+from lbm_tpu.ops import d2q9
+from lbm_tpu.parallel import pallas_sharded
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def make_case(ny, nx):
+    """A physically-stable state: equilibrium + 1% perturbation. Random
+    per-speed states have |u| ~ 0.8 (far beyond LBM stability) and chaotically
+    amplify engine-level f32 epsilon differences, making bit-comparisons
+    meaningless."""
+    rng = np.random.default_rng(23)
+    p = Params(nx=nx, ny=ny, max_iters=1, reynolds_dim=10,
+               density=0.1, accel=0.005, omega=1.85)
+    f = state.initial_distributions(p, np.float32)
+    f *= (1.0 + 0.01 * rng.uniform(-1, 1, size=f.shape)).astype(np.float32)
+    mask = np.zeros((ny, nx), bool)
+    mask[0, :] = True
+    mask[ny // 3 : ny // 3 + 3, nx // 4 : nx // 2] = True
+    return f, mask
+
+
+@pytest.mark.parametrize("n_shards,k_steps", [(8, 1), (8, 4), (8, 8), (4, 2)])
+def test_matches_global_engine(n_shards, k_steps):
+    ny, nx = 128, 128
+    f, mask = make_case(ny, nx)
+    w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
+    accel_row = ny - 2
+    num_steps = 8
+
+    # global reference evolution
+    amask = d2q9.accel_row_mask(ny, nx, accel_row)
+    f_ref, tots_ref = d2q9.run(
+        jnp.asarray(f), jnp.asarray(mask), amask,
+        num_steps=num_steps, omega=1.85, accel_w1=w1, accel_w2=w2,
+    )
+
+    mesh = pallas_sharded.make_row_mesh(n_shards)
+    mask_ext = jnp.asarray(pallas_sharded.extended_mask(mask, n_shards),
+                           jnp.float32)
+    f_dist, tots = pallas_sharded.run(
+        jnp.asarray(f), mask_ext, mesh=mesh, num_steps=num_steps,
+        k_steps=k_steps, omega=1.85, accel_w1=w1, accel_w2=w2,
+        accel_row=accel_row, ny=ny, band=8,
+    )
+    np.testing.assert_allclose(np.asarray(f_dist), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tots), np.asarray(tots_ref),
+                               rtol=1e-4)
+
+
+def test_simulate_golden_prefix(reference_dir):
+    """Distributed Pallas run reproduces the golden av_vels prefix in f32."""
+    p = Params.from_file(f"{reference_dir}/params/input_128x128.params")
+    obs = Obstacles.from_file(f"{reference_dir}/params/obstacles_128x128.dat", p)
+    golden = io.read_av_vels(f"{reference_dir}/check/128x128.av_vels.dat")
+    n = 16
+    p_n = dataclasses.replace(p, max_iters=n)
+    f0 = state.initial_distributions(p_n, np.float32)
+    mesh = pallas_sharded.make_row_mesh(8)
+    _, av = pallas_sharded.simulate(p_n, f0, obs.mask, mesh, k_steps=4, band=8)
+    rel = np.abs(np.asarray(av, np.float64) - golden[:n]) / golden[:n]
+    assert rel.max() < 1e-4
+
+
+def test_extended_mask_wraps():
+    mask = np.zeros((32, 16), bool)
+    mask[0, :] = True   # global bottom row blocked
+    mask[31, 5] = True
+    ext = pallas_sharded.extended_mask(mask, 4)
+    assert ext.shape == (4 * 24, 16)
+    shard0 = ext[:24]
+    # shard 0's south ghost rows are global rows 24..31 (wraparound)
+    assert shard0[7, 5]  # global row 31
+    assert shard0[8, 0]  # own row 0 (blocked)
+
+
+def test_rejects_too_deep_k():
+    mesh = pallas_sharded.make_row_mesh(2)
+    with pytest.raises(ValueError, match="k_steps"):
+        pallas_sharded.make_chunk_fn(
+            mesh, k_steps=9, omega=1.85, accel_w1=0.0, accel_w2=0.0,
+            accel_row=1, ny=64,
+        )
