@@ -44,7 +44,7 @@ def main():
             rgba = img_lib.load_png(path)
             fimg = img_lib.to_float_image(rgba)
             padded, interior, (h, w) = img_lib.pad_to_tile(fimg.intensities)
-            for engine in ("conv", "pallas"):
+            for engine in ("conv", "pallas", "resident"):
                 for dtype_name, dtype in (("float32", jnp.float32),
                                           ("bfloat16", jnp.bfloat16)):
                     x = jnp.asarray(padded, dtype)

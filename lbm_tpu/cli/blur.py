@@ -20,7 +20,7 @@ def main(argv=None) -> int:
     parser.add_argument("-o", "--output", required=True)
     parser.add_argument("-n", "--num-iters", type=int, default=100,
                         help="number of iteration pairs (each = 2 blur passes)")
-    parser.add_argument("--engine", default="conv", choices=["conv", "pallas"])
+    parser.add_argument("--engine", default="conv", choices=["conv", "pallas", "resident"])
     parser.add_argument("--data-type", default="float",
                         choices=["float", "half", "float32", "bfloat16"])
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])

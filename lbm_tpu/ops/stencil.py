@@ -56,9 +56,12 @@ def _shift_rows(ext, band, dr):
 
 
 def _blur_kernel(img_ref, prev_ref, next_ref, interior_ref, out_ref, *, band: int):
-    cur = img_ref[:]
-    above = prev_ref[:, 7, :]
-    below = next_ref[:, 0, :]
+    # compute in f32: TPU vector rotates only support 32-bit lanes, and the
+    # accumulation is more accurate — bf16 is a storage format here, exactly
+    # like the reference's half codelets computing via float intermediates
+    cur = img_ref[:].astype(jnp.float32)
+    above = prev_ref[:, 7, :].astype(jnp.float32)
+    below = next_ref[:, 0, :].astype(jnp.float32)
     ext = jnp.concatenate([above[:, None, :], cur, below[:, None, :]], axis=1)
 
     n = _shift_rows(ext, band, -1)
@@ -73,14 +76,11 @@ def _blur_kernel(img_ref, prev_ref, next_ref, interior_ref, out_ref, *, band: in
     def right(x):
         return pltpu.roll(x, w - 1, axis=x.ndim - 1)
 
-    dt = cur.dtype
-    four = jnp.asarray(4.0, dt)
-    two = jnp.asarray(2.0, dt)
-    sixteenth = jnp.asarray(1.0 / 16.0, dt)
-    acc = four * m
-    acc = acc + two * (n + s + left(m) + right(m))
+    acc = 4.0 * m
+    acc = acc + 2.0 * (n + s + left(m) + right(m))
     acc = acc + (left(n) + right(n) + left(s) + right(s))
-    out_ref[:] = acc * sixteenth * interior_ref[:][None]
+    blurred = acc * (1.0 / 16.0) * interior_ref[:].astype(jnp.float32)[None]
+    out_ref[:] = blurred.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -133,11 +133,78 @@ def _choose_band(h: int) -> int:
     raise ValueError(f"height {h} not a multiple of 8")
 
 
+def _resident_kernel(img_ref, interior_ref, out_ref, buf, *, num_passes: int):
+    """The whole image lives in VMEM for the entire run — one HBM read, one
+    HBM write, `num_passes` stencil applications in between. The TPU analogue
+    of the IPU holding the image in tile SRAM across the Repeat program
+    (main/GaussianBlurLowLevel.cpp:211-216): per-pass cost is pure VPU work,
+    no HBM traffic and no kernel-launch latency."""
+    if num_passes % 2:
+        raise ValueError("resident blur kernel runs passes in pairs")
+    interior = interior_ref[:].astype(jnp.float32)[None]
+    buf[0] = img_ref[:].astype(jnp.float32)
+
+    h = img_ref.shape[1]
+    w = img_ref.shape[2]
+
+    def shift(x, d, axis):
+        return pltpu.roll(x, d % (h if axis == 1 else w), axis=axis)
+
+    def blur(x):
+        # separable: (1 2 1)^T (1 2 1) / 16 — 4 rolls instead of 10
+        rows = shift(x, -1, 1) + 2.0 * x + shift(x, 1, 1)
+        acc = shift(rows, -1, 2) + 2.0 * rows + shift(rows, 1, 2)
+        return acc * (1.0 / 16.0) * interior
+
+    def body(i, _):  # two passes per iteration: static ping-pong, no
+        buf[1] = blur(buf[0])  # dynamic scratch indexing
+        buf[0] = blur(buf[1])
+        return 0
+
+    jax.lax.fori_loop(0, num_passes // 2, body, 0)
+    out_ref[:] = buf[0].astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_resident_blur(c, h, w, dtype_name, num_passes, interpret):
+    dtype = jnp.dtype(dtype_name)
+    return pl.pallas_call(
+        functools.partial(_resident_kernel, num_passes=num_passes),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), dtype),
+        scratch_shapes=[pltpu.VMEM((2, c, h, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def blur_resident(img: jax.Array, interior: jax.Array, *, num_passes: int,
+                  interpret: bool | None = None) -> jax.Array:
+    """`num_passes` blur applications with the image VMEM-resident
+    throughout. Needs ~(2*4 + 3) * C*H*W bytes of VMEM — use the banded
+    engines for images beyond roughly 1600x1600."""
+    c, h, w = img.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    call = _build_resident_blur(c, h, w, jnp.dtype(img.dtype).name,
+                                int(num_passes), bool(interpret))
+    return call(img, interior)
+
+
 @functools.partial(jax.jit, static_argnames=("num_iters", "engine", "band"))
 def blur_many(img: jax.Array, interior: jax.Array, *, num_iters: int,
               engine: str = "conv", band: int | None = None) -> jax.Array:
-    """num_iters x2 blur passes under one scan (the reference runs pairs:
-    GaussianBlurCpu.cpp:77-81, GaussianBlurLowLevel.cpp:211-216)."""
+    """num_iters x2 blur passes (the reference runs pairs:
+    GaussianBlurCpu.cpp:77-81, GaussianBlurLowLevel.cpp:211-216).
+    engine='resident' executes the whole run inside one VMEM-resident kernel;
+    'conv'/'pallas' scan over per-pass kernels."""
+    if engine == "resident":
+        return blur_resident(img, interior, num_passes=2 * num_iters)
+
     step = {
         "conv": blur_step_conv,
         "pallas": functools.partial(blur_step_pallas, band=band),

@@ -44,7 +44,7 @@ def test_single_step_matches_numpy(engine):
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("engine", ["conv", "pallas"])
+@pytest.mark.parametrize("engine", ["conv", "pallas", "resident"])
 def test_iterated_blur_matches_numpy(engine):
     padded, interior = make_padded(14, 62)
     out = np.asarray(
