@@ -24,7 +24,7 @@ def main(argv=None) -> int:
     parser.add_argument("--params", required=True, help="7-line .params file")
     parser.add_argument("--obstacles", required=True, help="obstacle .dat file")
     parser.add_argument("--engine", default="jax",
-                        choices=["jax", "pallas", "sharded"])
+                        choices=["jax", "pallas", "sharded", "sharded-pallas"])
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64", "bfloat16"])
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],
@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     parser.add_argument("--out-dir", default=".")
     parser.add_argument("--compile-only", action="store_true",
                         help="AOT-compile the step and exit (no simulation)")
+    parser.add_argument("--export", default=None, metavar="FILE",
+                        help="with --compile-only: serialise the compiled "
+                             "step for lbm_runner (the AOT-split analogue)")
     parser.add_argument("--trace-dir", default=None,
                         help="capture a jax.profiler trace of the run")
     parser.add_argument("--cache-dir", default=None,
@@ -100,12 +103,15 @@ def main(argv=None) -> int:
         with profiling.timed("AOT compile"):
             compiled = profiling.aot_compile(step_fn, f0)
         print(f"flops/step (XLA estimate): {compiled.cost_analysis().get('flops', 0):.3e}")
+        if args.export:
+            nbytes = profiling.export_executable(step_fn, f0, path=args.export)
+            print(f"exported {nbytes} bytes to {args.export}")
         return 0
 
     trace_ctx = (profiling.trace(args.trace_dir) if args.trace_dir
                  else contextlib.nullcontext())
     with trace_ctx:
-        if args.engine == "sharded":
+        if args.engine in ("sharded", "sharded-pallas"):
             result = _run_sharded(params, obstacles, dtype, args)
         else:
             result = lbm_model.run_simulation(
@@ -133,15 +139,22 @@ def _run_sharded(params, obstacles, dtype, args):
     p = (params if args.num_steps is None
          else dataclasses.replace(params, max_iters=args.num_steps))
     n = args.num_devices or len(jax.devices())
-    mesh = mesh_lib.make_mesh(n, p.ny, p.nx)
     f0 = state.initial_distributions(p, np.dtype(dtype))
 
-    f_final, av = halo.simulate_sharded(p, f0, obstacles.mask, mesh,
-                                        strategy=args.strategy)
+    if args.engine == "sharded-pallas":
+        from ..parallel import pallas_sharded
+
+        mesh = pallas_sharded.make_row_mesh(n)
+        sim = lambda: pallas_sharded.simulate(p, f0, obstacles.mask, mesh)
+    else:
+        mesh = mesh_lib.make_mesh(n, p.ny, p.nx)
+        sim = lambda: halo.simulate_sharded(p, f0, obstacles.mask, mesh,
+                                            strategy=args.strategy)
+
+    f_final, av = sim()
     np.asarray(av)  # materialize = compile+warm
     t0 = time.perf_counter()
-    f_final, av = halo.simulate_sharded(p, f0, obstacles.mask, mesh,
-                                        strategy=args.strategy)
+    f_final, av = sim()
     av_np = np.asarray(av, dtype=np.float64)
     compute_seconds = time.perf_counter() - t0
 

@@ -68,6 +68,25 @@ def aot_compile(fn, *args, **kw):
     return jax.jit(fn).lower(*args, **kw).compile()
 
 
+def export_executable(fn, *args, path: str | Path, **kw) -> int:
+    """Serialise a jitted computation to disk (the analogue of
+    poplar::compileGraph + exe->serialize, main/LbmPoplibs.cpp:376-389).
+    Returns the byte count written."""
+    from jax import export as jax_export
+
+    blob = jax_export.export(jax.jit(fn))(*args, **kw).serialize()
+    Path(path).write_bytes(blob)
+    return len(blob)
+
+
+def load_executable(path: str | Path):
+    """Deserialise an exported computation; call via `.call(*args)`
+    (the analogue of Executable::deserialize, main/LbmRunner.cpp:81-84)."""
+    from jax import export as jax_export
+
+    return jax_export.deserialize(Path(path).read_bytes())
+
+
 def enable_nan_debugging() -> None:
     """Trap NaNs in every jitted computation (the FP-exception analogue)."""
     jax.config.update("jax_debug_nans", True)
