@@ -99,9 +99,20 @@ def exchange_halos_allgather(f_loc: jax.Array) -> jax.Array:
     return jnp.concatenate([ghost_west, ext, ghost_east], axis=2)
 
 
+def exchange_halos_none(f_loc: jax.Array) -> jax.Array:
+    """Local-periodic ghost ring WITHOUT any inter-shard communication.
+    Physically wrong at shard boundaries — exists only as the zero-exchange
+    cost baseline for the exchange-vs-compute experiment (the analogue of
+    the reference's profiler split, experiments/gaussian-blur-scaling/
+    exchange-vs-compute.csv)."""
+    ext = jnp.concatenate([f_loc[:, -1:, :], f_loc, f_loc[:, :1, :]], axis=1)
+    return jnp.concatenate([ext[:, :, -1:], ext, ext[:, :, :1]], axis=2)
+
+
 EXCHANGES = {
     "ppermute": exchange_halos_2wave,
     "allgather": exchange_halos_allgather,
+    "none": exchange_halos_none,
 }
 
 
