@@ -34,13 +34,19 @@ from lbm_tpu.core.params import Params
 from lbm_tpu.parallel import halo, mesh as mesh_lib
 
 
-def time_strategy(p, f0, mask, mesh, strategy):
-    _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy)
-    np.asarray(av)
-    t0 = time.perf_counter()
-    _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy)
-    np.asarray(av)
-    return time.perf_counter() - t0
+def time_strategy(p, f0, mask, mesh, strategy, reps=3):
+    """min-of-N timing: single runs on a shared host are noise-dominated."""
+    _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy,
+                                  allow_invalid=True)
+    np.asarray(av)  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy,
+                                  allow_invalid=True)
+        np.asarray(av)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -58,9 +64,11 @@ def main():
             mesh = mesh_lib.make_mesh(n_dev, ny, ny)
             total = time_strategy(p, f0, mask, mesh, "ppermute")
             compute = time_strategy(p, f0, mask, mesh, "none")
-            exch = max(0.0, total - compute)
+            exch = total - compute  # signed: negative = below noise floor
+            pct = 100 * exch / total
+            flag = "" if exch >= 0 else " (below noise floor)"
             row = (f"{ny}x{ny},{n_dev},{iters},{total:.4f},{compute:.4f},"
-                   f"{exch:.4f},{100 * exch / total:.1f}")
+                   f"{exch:.4f},{pct:.1f}{flag}")
             print(row)
             out.write(row + "\n")
     print(f"wrote {out_path}")

@@ -24,6 +24,9 @@ from lbm_tpu.ops import d2q9, d2q9_pallas
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    iters -= iters % 4  # pallas_k4 needs a multiple of k_steps=4
+    if iters <= 0:
+        sys.exit("iters must be >= 4")
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
         out.write("grid,engine,iters,seconds,mlups\n")

@@ -187,12 +187,17 @@ def simulate_sharded(
     *,
     strategy: str = "ppermute",
     unroll: int = 1,
+    allow_invalid: bool = False,
 ):
     """Full reference-semantics simulation on a device mesh.
 
     strategy='ppermute': explicit shard_map halo rings (this module).
     strategy='implicit': global step on sharded arrays; XLA chooses the
     collectives (the reference's winning "implicit" scheme).
+    strategy='allgather': deliberately-heavy gather-everything baseline.
+    ('none' is a physically-WRONG zero-communication cost baseline and is
+    rejected here; only the exchange-vs-compute experiment uses it via
+    allow_invalid=True.)
     """
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
@@ -208,6 +213,11 @@ def simulate_sharded(
     amask = d2q9.accel_row_mask(params.ny, params.nx, accel_row, dtype=f.dtype)
     amask = jax.device_put(amask, NamedSharding(mesh, P(ROW, None)))
 
+    if strategy == "none" and not allow_invalid:
+        raise ValueError(
+            "'none' skips halo exchange and gives wrong physics; it is a "
+            "cost baseline only (pass allow_invalid=True if you mean it)"
+        )
     if strategy in EXCHANGES:
         f_final, tot_u = run_sharded(
             f, obstacle_mask, amask,
