@@ -1,0 +1,112 @@
+"""CLI smoke tests: every command surface runs end-to-end on CPU.
+
+The analogue of the reference's CMake-built driver executables being exercised
+by the experiment scripts — here each CLI is invoked as a user would.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REF = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+
+
+def run_cli(args, timeout=240):
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, "-m", *args], capture_output=True, text=True,
+        timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+@needs_ref
+def test_lbm_cli(tmp_path):
+    res = run_cli([
+        "lbm_tpu.cli.lbm", "--params", f"{REF}/params/input_128x128.params",
+        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
+        "--device", "cpu", "--num-steps", "10", "--out-dir", str(tmp_path),
+    ])
+    assert res.returncode == 0, res.stderr
+    assert "==done==" in res.stdout
+    assert (tmp_path / "av_vels.dat").exists()
+    assert (tmp_path / "final_state.dat").exists()
+
+
+@needs_ref
+def test_lbm_cli_compile_only_and_runner(tmp_path):
+    exe = tmp_path / "step.jaxexe"
+    res = run_cli([
+        "lbm_tpu.cli.lbm", "--params", f"{REF}/params/input_128x128.params",
+        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
+        "--device", "cpu", "--compile-only", "--export", str(exe),
+    ])
+    assert res.returncode == 0, res.stderr
+    assert exe.exists() and exe.stat().st_size > 0
+
+    res = run_cli([
+        "lbm_tpu.cli.lbm_runner", "--exe", str(exe),
+        "--params", f"{REF}/params/input_128x128.params",
+        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
+        "--device", "cpu", "--num-steps", "5", "--out-dir", str(tmp_path),
+    ])
+    assert res.returncode == 0, res.stderr
+    assert "==done==" in res.stdout
+
+
+@needs_ref
+def test_blur_cli(tmp_path):
+    out = tmp_path / "out.png"
+    res = run_cli([
+        "lbm_tpu.cli.blur", "-i", f"{REF}/images/test-small.png",
+        "-o", str(out), "-n", "3", "--device", "cpu", "--engine", "resident",
+    ])
+    assert res.returncode == 0, res.stderr
+    assert out.exists()
+
+
+def test_viz_partition_cli(tmp_path):
+    res = run_cli([
+        "lbm_tpu.cli.viz_partition", "--ny", "64", "--nx", "64",
+        "--num-devices", "4", "-o", str(tmp_path / "p.png"),
+        "--json", str(tmp_path / "p.json"),
+    ])
+    assert res.returncode == 0, res.stderr
+    assert "load balance" in res.stdout
+    assert (tmp_path / "p.png").exists()
+    assert (tmp_path / "p.json").exists()
+
+
+def test_partition_stats_cli():
+    res = run_cli(["lbm_tpu.cli.partition_stats", "--samples", "3",
+                   "--devices", "1,4"])
+    assert res.returncode == 0, res.stderr
+    assert res.stdout.startswith("ny,nx,num_devices")
+
+
+def test_halo_bench_cli():
+    env = dict(os.environ, PYTHONPATH=str(REPO),
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    res = subprocess.run(
+        [sys.executable, "-m", "lbm_tpu.cli.halo_bench", "--ny", "64",
+         "--nx", "64", "-n", "3", "--device", "cpu",
+         "--strategies", "implicit,ppermute"],
+        capture_output=True, text=True, timeout=240, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "ppermute" in res.stdout
+
+
+def test_lbm3d_cli(tmp_path):
+    res = run_cli([
+        "lbm_tpu.cli.lbm3d", "--nz", "8", "--ny", "8", "--nx", "16",
+        "-n", "5", "--device", "cpu", "--out-dir", str(tmp_path),
+    ])
+    assert res.returncode == 0, res.stderr
+    assert "==done==" in res.stdout
+    assert (tmp_path / "av_vels_3d.dat").exists()
