@@ -40,9 +40,11 @@ def main():
                 "jax": lambda ns: d2q9.run(
                     f0, mask_b, amask, num_steps=ns, omega=1.85,
                     accel_w1=w1, accel_w2=w2),
-                "pallas_k4": lambda ns: d2q9_pallas.run(
-                    f0, mask_f, num_steps=ns, omega=1.85, accel_w1=w1,
-                    accel_w2=w2, accel_row=n - 2, band=128, k_steps=4),
+                # keep the per-band VMEM working set ~constant as nx grows
+                "pallas_k4": lambda ns, band=max(8, 128 * 1024 // n):
+                    d2q9_pallas.run(
+                        f0, mask_f, num_steps=ns, omega=1.85, accel_w1=w1,
+                        accel_w2=w2, accel_row=n - 2, band=band, k_steps=4),
             }
             for name, fn in engines.items():
                 try:

@@ -146,7 +146,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
-                accel_row, interpret):
+                accel_row, interpret, vmem_limit=100 * 1024 * 1024):
     ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if ny % band or band % 8:
@@ -195,7 +195,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
             transcendentals=k_steps * ny * nx,  # sqrt
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )
@@ -215,6 +215,7 @@ def stepk(
     row_offset: jax.Array | int = 0,
     valid_rows: tuple | None = None,
     global_ny: int | None = None,
+    vmem_limit: int = 100 * 1024 * 1024,
 ):
     """K fused timesteps in one HBM pass. `mask_f` is the obstacle mask as
     {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,)).
@@ -233,6 +234,7 @@ def stepk(
     call = _build_step(
         (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
+        int(vmem_limit),
     )
     scal = jnp.stack(
         [jnp.asarray(row_offset, jnp.int32),
@@ -259,7 +261,7 @@ def step2(f, mask_f, **kw):
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "k_steps", "omega", "accel_w1", "accel_w2",
-                     "accel_row", "band", "interpret"),
+                     "accel_row", "band", "interpret", "vmem_limit"),
 )
 def run(
     f: jax.Array,
@@ -273,6 +275,7 @@ def run(
     k_steps: int = 1,
     band: int | None = None,
     interpret: bool | None = None,
+    vmem_limit: int = 100 * 1024 * 1024,
 ):
     """`num_steps` fused timesteps under one lax.scan (device-resident loop),
     `k_steps` of them per HBM pass. num_steps must be a multiple of k_steps.
@@ -284,7 +287,7 @@ def run(
         f_new, tots = stepk(
             carry, mask_f, k_steps=k_steps, omega=omega, accel_w1=accel_w1,
             accel_w2=accel_w2, accel_row=accel_row, band=band,
-            interpret=interpret,
+            interpret=interpret, vmem_limit=vmem_limit,
         )
         return f_new, tots
 

@@ -57,7 +57,7 @@ def test_av_vels_prefix_f32_within_tolerance(reference_dir, grid):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("grid", ["128x128", "128x256"])
+@pytest.mark.parametrize("grid", ["128x128", "128x256", "256x256"])
 def test_full_run_passes_checker(reference_dir, grid, tmp_path):
     """End-to-end: full-length f64 run, written .dat files pass verify/check.py
     against the golden files at 1% tolerance (and in fact at 1e-6%)."""
