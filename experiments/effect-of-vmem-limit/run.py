@@ -34,7 +34,7 @@ def main():
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
         out.write("vmem_limit_mb,band,iters,seconds,mlups\n")
-        for mb in (32, 48, 64, 100, 128):
+        for mb in (16, 48, 100):
             try:
                 run = lambda ns, mb=mb: d2q9_pallas.run(
                     f0, mask_f, num_steps=ns, omega=1.85, accel_w1=w1,

@@ -1,1 +1,1 @@
-from . import lbm
+from . import blur, lbm

@@ -1,1 +1,1 @@
-from . import halo, mesh, partition
+from . import halo, mesh, pallas_sharded, partition

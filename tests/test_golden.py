@@ -57,7 +57,26 @@ def test_av_vels_prefix_f32_within_tolerance(reference_dir, grid):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("grid", ["128x128", "128x256", "256x256"])
+@pytest.mark.parametrize("grid", ["256x256", "1024x1024"])
+def test_full_run_av_vels_only(reference_dir, grid):
+    """Full-length f64 av_vels comparison for the grids whose golden
+    final_state blobs are absent from the reference checkout
+    (256x256.final_state and 1024x1024.final_state are in
+    check/.MISSING_LARGE_BLOBS)."""
+    if grid == "1024x1024":
+        pytest.skip("20k iters at 1M cells in f64 on CPU: covered by the "
+                    "TPU bench correctness gate instead")
+    p, obs, golden_av = load_case(reference_dir, grid)
+    with jax.enable_x64(True):
+        f0 = jnp.asarray(state.initial_distributions(p, np.float64))
+        _, av = d2q9.simulate(p, f0, jnp.asarray(obs.mask))
+        av = np.asarray(av)
+    rel = np.abs(av - golden_av) / golden_av
+    assert rel.max() < 1e-8, f"max rel err {rel.max():.3e} at step {rel.argmax()}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("grid", ["128x128", "128x256"])
 def test_full_run_passes_checker(reference_dir, grid, tmp_path):
     """End-to-end: full-length f64 run, written .dat files pass verify/check.py
     against the golden files at 1% tolerance (and in fact at 1e-6%)."""
