@@ -41,6 +41,20 @@ DEF_VMEM_BUDGET = 64 * 1024 * 1024  # conservative per-core VMEM budget (bytes)
 MAX_STEPS_PER_PASS = 8  # halo blocks are 8 rows -> K <= 8
 
 
+def default_vmem_limit(band: int, nx: int, k_steps: int) -> int:
+    """Right-sized scoped-VMEM budget for the K-step kernel.
+
+    Measured on v5e at 1024^2/band=128/K=4: a ~45MB budget yields 11.5k
+    MLUPS vs 8.7k at the flat 100MB default — the tighter budget steers the
+    Mosaic scheduler into a leaner, better-pipelined allocation
+    (experiments/effect-of-vmem-limit). Estimate = double-buffered operand
+    blocks + ~3 live region temporaries, with 35% headroom.
+    """
+    operands = (2 * 9 * band * nx + 2 * 9 * 8 * nx + band * nx + 2 * 8 * nx) * 4 * 2
+    scratch = 9 * (band + 2 * k_steps) * nx * 4 * 3
+    return min(120 * 1024 * 1024, int((operands + scratch) * 1.35))
+
+
 def choose_band(h: int, w: int, vmem_budget: int = DEF_VMEM_BUDGET) -> int:
     """Largest band height B (multiple of 8, divides H) whose working set
     (cur + out + halos + mask, double-buffered) fits the VMEM budget."""
@@ -146,7 +160,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
-                accel_row, interpret, vmem_limit=100 * 1024 * 1024):
+                accel_row, interpret, vmem_limit=None):
     ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if ny % band or band % 8:
@@ -195,7 +209,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
             transcendentals=k_steps * ny * nx,  # sqrt
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit,
+            vmem_limit_bytes=vmem_limit or default_vmem_limit(band, nx, k_steps),
         ),
         interpret=interpret,
     )
@@ -215,7 +229,7 @@ def stepk(
     row_offset: jax.Array | int = 0,
     valid_rows: tuple | None = None,
     global_ny: int | None = None,
-    vmem_limit: int = 100 * 1024 * 1024,
+    vmem_limit: int | None = None,
 ):
     """K fused timesteps in one HBM pass. `mask_f` is the obstacle mask as
     {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,)).
@@ -234,7 +248,7 @@ def stepk(
     call = _build_step(
         (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
-        int(vmem_limit),
+        None if vmem_limit is None else int(vmem_limit),
     )
     scal = jnp.stack(
         [jnp.asarray(row_offset, jnp.int32),
@@ -275,7 +289,7 @@ def run(
     k_steps: int = 1,
     band: int | None = None,
     interpret: bool | None = None,
-    vmem_limit: int = 100 * 1024 * 1024,
+    vmem_limit: int | None = None,
 ):
     """`num_steps` fused timesteps under one lax.scan (device-resident loop),
     `k_steps` of them per HBM pass. num_steps must be a multiple of k_steps.
