@@ -13,7 +13,7 @@ import dataclasses
 import time
 from pathlib import Path
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,17 +55,18 @@ def run_simulation(
         raise ValueError(f"unknown engine {engine!r}")
 
     # warm-up compile (excluded from the timed run, like the reference's
-    # separate graph-construction timing, main/LbmAoS.cpp:306-390)
+    # separate graph-construction timing, main/LbmAoS.cpp:306-390).
+    # NB: materialize via np.asarray — block_until_ready does not flush on
+    # remote-tunnel platforms (see CLAUDE.md).
     f_final, av_vels = simulate(p, f0, mask)
-    jax.block_until_ready((f_final, av_vels))
+    np.asarray(av_vels)
 
     t0 = time.perf_counter()
     f_final, av_vels = simulate(p, f0, mask)
-    jax.block_until_ready((f_final, av_vels))
+    av_np = np.asarray(av_vels, dtype=np.float64)
     compute_seconds = time.perf_counter() - t0
 
     f_np = np.asarray(f_final)
-    av_np = np.asarray(av_vels, dtype=np.float64)
     re = reynolds_number(p, float(av_np[-1]))
     return LbmResult(
         f_final=f_np,

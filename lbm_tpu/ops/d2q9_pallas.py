@@ -87,7 +87,9 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
     valid_hi = scal_ref[0, 2]
     global_ny = scal_ref[0, 3]
     w = f_ref.shape[-1]
-    dt = f_ref.dtype
+    # compute always in f32; bf16 is a storage format (halves HBM traffic,
+    # the reference's float->half axis) and TPU rotates need 32-bit lanes
+    dt = jnp.float32
     k = k_steps
 
     def east(x):
@@ -116,7 +118,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
     # state_0: rows i*B-K .. i*B+B+K-1  (band + 2K rows)
     state = jnp.concatenate(
         [prev_ref[:, 8 - k : 8, :], f_ref[:], next_ref[:, 0:k, :]], axis=1
-    )
+    ).astype(dt)
     # obstacle mask over the widest step-1 region: rows i*B-(K-1) .. i*B+B+K-2
     if k > 1:
         mask_wide = jnp.concatenate(
@@ -155,7 +157,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             jnp.where(valid_rows, interior, jnp.zeros((), dt))
         )
 
-    out_ref[:] = state
+    out_ref[:] = state.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=64)
@@ -201,7 +203,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((1, k_steps), dtype),
+            jax.ShapeDtypeStruct((1, k_steps), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=k_steps * 75 * ny * nx,

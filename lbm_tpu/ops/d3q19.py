@@ -162,19 +162,33 @@ def simulate(
     accel: float = 0.005,
     obstacle_mask=None,
     dtype=np.float32,
+    engine: str = "jax",
+    k_steps: int = 2,
 ):
     """Lid-driven-style 3-D run: accelerated plane at z = nz-2, walls at
-    z = 0 and z = nz-1 (the 3-D analogue of the shipped 2-D configs)."""
+    z = 0 and z = nz-1 (the 3-D analogue of the shipped 2-D configs).
+    engine='pallas' uses the fused K-step kernel (d3q19_pallas)."""
     f = jnp.asarray(initial_distributions(nz, ny, nx, density, dtype))
     if obstacle_mask is None:
         obstacle_mask = np.zeros((nz, ny, nx), bool)
         obstacle_mask[0] = True
         obstacle_mask[-1] = True
     obstacle_mask = jnp.asarray(obstacle_mask)
-    amask = accel_plane_mask(nz, ny, nx, nz - 2, dtype=f.dtype)
-    f_final, tot = run(
-        f, obstacle_mask, amask,
-        num_steps=num_steps, omega=omega, density=density, accel=accel,
-    )
+    if engine == "pallas":
+        from . import d3q19_pallas
+
+        if num_steps % k_steps:
+            k_steps = 1
+        f_final, tot = d3q19_pallas.run(
+            f, obstacle_mask.astype(f.dtype), num_steps=num_steps,
+            k_steps=k_steps, omega=omega, density=density, accel=accel,
+            accel_plane=nz - 2,
+        )
+    else:
+        amask = accel_plane_mask(nz, ny, nx, nz - 2, dtype=f.dtype)
+        f_final, tot = run(
+            f, obstacle_mask, amask,
+            num_steps=num_steps, omega=omega, density=density, accel=accel,
+        )
     num_free = jnp.asarray((~obstacle_mask).sum(), dtype=f.dtype)
     return f_final, tot / num_free

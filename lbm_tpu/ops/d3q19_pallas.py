@@ -1,0 +1,230 @@
+"""Fused D3Q19 collide-and-stream Pallas kernel with K-step temporal blocking.
+
+The 3-D instantiation of the stencil-engine design in d2q9_pallas.py: the
+(19, nz, ny, nx) state is processed in z-slabs of BZ planes. The (ny, nx)
+planes are the TPU-tiled dimensions (y rolls on sublanes, x rolls on lanes);
+z is a batch dimension, so periodic z-halos are single (19, K, ny, nx) plane
+blocks fetched via modular index maps — no alignment padding at all. A K-step
+pass reads BZ+2K planes and writes BZ planes, the same 1/K HBM-traffic
+scaling as the 2-D kernel.
+
+Compute is always f32 (bf16 storage supported). The accelerated plane
+(z = nz-2, the 3-D analogue of the reference's accelerated row) is applied
+mod global nz so wrapped/ghost copies stay consistent, exactly like the 2-D
+kernel's accelerated-row handling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import d3q19
+
+MAX_K = 4
+
+
+def default_vmem_limit(bz: int, ny: int, nx: int, k: int) -> int:
+    plane = 19 * ny * nx * 4
+    operands = (2 * bz * plane + 2 * k * plane + (bz + 2 * k) * ny * nx * 4) * 2
+    scratch = (bz + 2 * k) * plane * 3
+    return min(120 * 1024 * 1024, int((operands + scratch) * 1.35))
+
+
+def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
+            mnext_ref, out_ref, tot_ref, *, bz: int, k_steps: int,
+            omega: float, density: float, accel: float, accel_plane: int):
+    i = pl.program_id(0)
+    global_nz = scal_ref[0, 0]
+    k = k_steps
+    dt = jnp.float32
+    ny = f_ref.shape[-2]
+    nx = f_ref.shape[-1]
+
+    def roll_y(x, d):
+        return pltpu.roll(x, d % ny, axis=x.ndim - 2)
+
+    def roll_x(x, d):
+        return pltpu.roll(x, d % nx, axis=x.ndim - 1)
+
+    def streamed(ext, n_planes):
+        # ext: (19, n_planes+2, ny, nx); pull speed q for the n_planes region
+        def region(q, dz):
+            return ext[q, 1 + dz : 1 + dz + n_planes]
+
+        out = []
+        for q in range(d3q19.NUM_SPEEDS):
+            dz, dy, dx = (int(v) for v in d3q19.E[q])
+            x = region(q, -dz)  # pull: from z - dz
+            if dy:
+                x = roll_y(x, dy)
+            if dx:
+                x = roll_x(x, dx)
+            out.append(x)
+        return out
+
+    state = jnp.concatenate(
+        [prev_ref[:], f_ref[:], next_ref[:]], axis=1
+    ).astype(dt)
+    if k > 1:
+        mask_wide = jnp.concatenate(
+            [mprev_ref[1:], mask_ref[:], mnext_ref[: k - 1]], axis=0
+        )
+    else:
+        mask_wide = mask_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(k):
+            tot_ref[0, j] = jnp.zeros((), jnp.float32)
+
+    for j in range(1, k + 1):
+        n_planes = bz + 2 * (k - j)
+        lo = (k - 1) - (k - j)
+        mask_j = mask_wide[lo : lo + n_planes] != 0
+        planes_j = (i * bz - (k - j)) + jax.lax.broadcasted_iota(
+            jnp.int32, (n_planes, 1, 1), 0
+        )
+        amask_j = (jnp.mod(planes_j, global_nz) == accel_plane).astype(dt)
+        state_list, u = d3q19.collide_fields(
+            streamed(state, n_planes), mask_j, amask_j,
+            omega=omega, density=density, accel=accel,
+        )
+        state = state_list  # stacked (19, n_planes, ny, nx)
+        interior = u[k - j : k - j + bz]
+        tot_ref[0, j - 1] += jnp.sum(interior)
+
+    out_ref[:] = state.astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
+                accel_plane, interpret):
+    nz, ny, nx = shape
+    dtype = jnp.dtype(dtype_name)
+    if nz % bz:
+        raise ValueError(f"bz {bz} must divide nz {nz}")
+    if not 1 <= k_steps <= MAX_K:
+        raise ValueError(f"k_steps must be in 1..{MAX_K}")
+    grid = nz // bz
+
+    kernel = functools.partial(
+        _kernel, bz=bz, k_steps=k_steps, omega=omega, density=density,
+        accel=accel, accel_plane=accel_plane,
+    )
+    k = k_steps
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # K z-planes ENDING at plane i*bz - 1 (periodic)
+            pl.BlockSpec((19, k, ny, nx),
+                         lambda i: (0, _prev_idx(i, bz, k, nz), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((19, k, ny, nx),
+                         lambda i: (0, _next_idx(i, bz, k, nz), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ny, nx), lambda i: (_prev_idx(i, bz, k, nz), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ny, nx), lambda i: (_next_idx(i, bz, k, nz), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_steps), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((19, nz, ny, nx), dtype),
+            jax.ShapeDtypeStruct((1, k_steps), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=default_vmem_limit(bz, ny, nx, k_steps),
+        ),
+        interpret=interpret,
+    )
+
+
+def _prev_idx(i, bz, k, nz):
+    # block index (in k-plane units) whose LAST plane is global plane i*bz-1
+    return ((i * bz - k) % nz) // k
+
+
+def _next_idx(i, bz, k, nz):
+    return ((i * bz + bz) % nz) // k
+
+
+def stepk(
+    f: jax.Array,
+    mask_f: jax.Array,
+    *,
+    k_steps: int,
+    omega: float,
+    density: float,
+    accel: float,
+    accel_plane: int,
+    bz: int | None = None,
+    interpret: bool | None = None,
+):
+    """K fused 3-D timesteps. mask_f: (nz, ny, nx) {0,1}. Returns
+    (f_after_K, tot_u per step (K,) f32)."""
+    _, nz, ny, nx = f.shape
+    if bz is None:
+        bz = max(k_steps, 4)
+        while nz % bz:
+            bz //= 2
+    # halo blocks are k z-planes: their modular index maps assume k | i*bz-k
+    # strides, which holds when k divides nz and bz
+    if nz % k_steps or bz % k_steps:
+        raise ValueError("k_steps must divide nz and bz")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    call = _build_step(
+        (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(k_steps),
+        float(omega), float(density), float(accel), int(accel_plane),
+        bool(interpret),
+    )
+    scal = jnp.array([[nz]], jnp.int32)
+    f_new, tots = call(scal, f, f, f, mask_f, mask_f, mask_f)
+    return f_new, tots[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "k_steps", "omega", "density", "accel",
+                     "accel_plane", "bz", "interpret"),
+)
+def run(
+    f: jax.Array,
+    mask_f: jax.Array,
+    *,
+    num_steps: int,
+    k_steps: int = 1,
+    omega: float,
+    density: float,
+    accel: float,
+    accel_plane: int,
+    bz: int | None = None,
+    interpret: bool | None = None,
+):
+    if num_steps % k_steps:
+        raise ValueError("num_steps must be a multiple of k_steps")
+
+    def body(carry, _):
+        f_new, tots = stepk(
+            carry, mask_f, k_steps=k_steps, omega=omega, density=density,
+            accel=accel, accel_plane=accel_plane, bz=bz, interpret=interpret,
+        )
+        return f_new, tots
+
+    f_final, tots = jax.lax.scan(body, f, None, length=num_steps // k_steps)
+    return f_final, tots.reshape(num_steps)

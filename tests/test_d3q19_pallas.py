@@ -1,0 +1,63 @@
+"""Pallas D3Q19 kernel parity vs the pure-JAX 3-D engine (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.ops import d3q19, d3q19_pallas
+
+
+def make_case(nz, ny, nx):
+    rng = np.random.default_rng(31)
+    f = d3q19.initial_distributions(nz, ny, nx, 0.1, np.float32)
+    f *= (1.0 + 0.01 * rng.uniform(-1, 1, size=f.shape)).astype(np.float32)
+    mask = np.zeros((nz, ny, nx), bool)
+    mask[0] = True
+    mask[nz // 2, ny // 3 : ny // 2, nx // 4 : nx // 2] = True
+    return f, mask
+
+
+@pytest.mark.parametrize("k_steps,bz", [(1, 2), (2, 2), (4, 4)])
+def test_stepk_matches_reference(k_steps, bz):
+    nz, ny, nx = 8, 16, 128
+    f, mask = make_case(nz, ny, nx)
+    amask = d3q19.accel_plane_mask(nz, ny, nx, nz - 2)
+
+    f_ref = jnp.asarray(f)
+    tots_ref = []
+    for _ in range(k_steps):
+        f_ref, t = d3q19.step(f_ref, jnp.asarray(mask), amask,
+                              omega=1.85, density=0.1, accel=0.005)
+        tots_ref.append(float(t))
+
+    f_pl, tots = d3q19_pallas.stepk(
+        jnp.asarray(f), jnp.asarray(mask, np.float32), k_steps=k_steps,
+        omega=1.85, density=0.1, accel=0.005, accel_plane=nz - 2, bz=bz,
+    )
+    np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tots), tots_ref, rtol=1e-4)
+
+
+def test_run_scan_parity():
+    nz, ny, nx = 8, 8, 128
+    f, mask = make_case(nz, ny, nx)
+    amask = d3q19.accel_plane_mask(nz, ny, nx, nz - 2)
+    f_ref, tots_ref = d3q19.run(jnp.asarray(f), jnp.asarray(mask), amask,
+                                num_steps=4, omega=1.85, density=0.1,
+                                accel=0.005)
+    f_pl, tots = d3q19_pallas.run(
+        jnp.asarray(f), jnp.asarray(mask, np.float32), num_steps=4,
+        k_steps=2, omega=1.85, density=0.1, accel=0.005,
+        accel_plane=nz - 2, bz=2,
+    )
+    np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tots), np.asarray(tots_ref), rtol=1e-4)
+
+
+def test_rejects_bad_k():
+    f = jnp.zeros((19, 8, 8, 128), jnp.float32)
+    with pytest.raises(ValueError, match="k_steps"):
+        d3q19_pallas.stepk(f, jnp.zeros((8, 8, 128)), k_steps=3, omega=1.85,
+                           density=0.1, accel=0.005, accel_plane=6, bz=4)
