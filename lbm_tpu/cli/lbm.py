@@ -112,7 +112,11 @@ def main(argv=None) -> int:
                  else contextlib.nullcontext())
     with trace_ctx:
         if args.engine in ("sharded", "sharded-pallas"):
-            result = _run_sharded(params, obstacles, dtype, args)
+            result = lbm_model.run_simulation_sharded(
+                params, obstacles, dtype=dtype, strategy=args.strategy,
+                engine=args.engine, num_devices=args.num_devices,
+                num_steps=args.num_steps,
+            )
         else:
             result = lbm_model.run_simulation(
                 params, obstacles, dtype=dtype, engine=args.engine,
@@ -122,50 +126,6 @@ def main(argv=None) -> int:
     av_path, fs_path = lbm_model.write_outputs(result, params, obstacles, args.out_dir)
     print(f"wrote {av_path} and {fs_path}")
     return 0
-
-
-def _run_sharded(params, obstacles, dtype, args):
-    import dataclasses
-    import time
-
-    import jax
-    import numpy as np
-
-    from ..core import state
-    from ..core.params import reynolds_number
-    from ..models.lbm import LbmResult
-    from ..parallel import halo, mesh as mesh_lib
-
-    p = (params if args.num_steps is None
-         else dataclasses.replace(params, max_iters=args.num_steps))
-    n = args.num_devices or len(jax.devices())
-    f0 = state.initial_distributions(p, np.dtype(dtype))
-
-    if args.engine == "sharded-pallas":
-        from ..parallel import pallas_sharded
-
-        mesh = pallas_sharded.make_row_mesh(n)
-        sim = lambda: pallas_sharded.simulate(p, f0, obstacles.mask, mesh)
-    else:
-        mesh = mesh_lib.make_mesh(n, p.ny, p.nx)
-        sim = lambda: halo.simulate_sharded(p, f0, obstacles.mask, mesh,
-                                            strategy=args.strategy)
-
-    f_final, av = sim()
-    np.asarray(av)  # materialize = compile+warm
-    t0 = time.perf_counter()
-    f_final, av = sim()
-    av_np = np.asarray(av, dtype=np.float64)
-    compute_seconds = time.perf_counter() - t0
-
-    f_np = np.asarray(f_final)
-    return LbmResult(
-        f_final=f_np,
-        av_vels=av_np,
-        compute_seconds=compute_seconds,
-        reynolds=reynolds_number(p, float(av_np[-1])),
-        total_density=state.total_density(f_np),
-    )
 
 
 if __name__ == "__main__":

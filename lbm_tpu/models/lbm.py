@@ -77,6 +77,55 @@ def run_simulation(
     )
 
 
+def run_simulation_sharded(
+    params: Params,
+    obstacles: Obstacles,
+    *,
+    dtype=jnp.float32,
+    strategy: str = "ppermute",
+    engine: str = "sharded",
+    num_devices: int | None = None,
+    num_steps: int | None = None,
+) -> LbmResult:
+    """Multi-device simulation over a jax.sharding.Mesh.
+
+    engine='sharded' uses the pure-JAX distributed step with the chosen halo
+    `strategy`; engine='sharded-pallas' uses the communication-avoiding
+    ghost-band + local K-step Pallas path (parallel/pallas_sharded.py).
+    """
+    import jax
+
+    from ..parallel import halo, mesh as mesh_lib, pallas_sharded
+
+    p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
+    n = num_devices or len(jax.devices())
+    f0 = state.initial_distributions(p, np.dtype(dtype))
+
+    if engine == "sharded-pallas":
+        mesh = pallas_sharded.make_row_mesh(n)
+        sim = lambda: pallas_sharded.simulate(p, f0, obstacles.mask, mesh)
+    else:
+        mesh = mesh_lib.make_mesh(n, p.ny, p.nx)
+        sim = lambda: halo.simulate_sharded(p, f0, obstacles.mask, mesh,
+                                            strategy=strategy)
+
+    f_final, av = sim()
+    np.asarray(av)  # materialize = compile + warm (see CLAUDE.md timing note)
+    t0 = time.perf_counter()
+    f_final, av = sim()
+    av_np = np.asarray(av, dtype=np.float64)
+    compute_seconds = time.perf_counter() - t0
+
+    f_np = np.asarray(f_final)
+    return LbmResult(
+        f_final=f_np,
+        av_vels=av_np,
+        compute_seconds=compute_seconds,
+        reynolds=reynolds_number(p, float(av_np[-1])),
+        total_density=state.total_density(f_np),
+    )
+
+
 def write_outputs(
     result: LbmResult,
     params: Params,

@@ -268,12 +268,6 @@ def step(f, mask_f, **kw):
     return f_new, tots[0]
 
 
-def step2(f, mask_f, **kw):
-    """Two fused timesteps per HBM pass (the reference's `two_timesteps`
-    analogue). Returns (f'', tot_u (2,))."""
-    return stepk(f, mask_f, k_steps=2, **kw)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "k_steps", "omega", "accel_w1", "accel_w2",
@@ -309,11 +303,6 @@ def run(
 
     f_final, tots = jax.lax.scan(body, f, None, length=num_steps // k_steps)
     return f_final, tots.reshape(num_steps)
-
-
-def run2(f, mask_f, **kw):
-    """run with the double-step kernel (kept for API parity)."""
-    return run(f, mask_f, k_steps=2, **kw)
 
 
 def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,

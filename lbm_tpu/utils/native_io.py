@@ -70,11 +70,18 @@ def build() -> bool:
         return False
 
 
+_CACHED: dict[bool, NativeIO | None] = {}
+
+
 def load(auto_build: bool = True) -> NativeIO | None:
-    if not LIB_PATH.exists():
-        if not (auto_build and build()):
-            return None
-    try:
-        return NativeIO(ctypes.CDLL(str(LIB_PATH)))
-    except OSError:
-        return None
+    """Memoized: dlopen once per process."""
+    if auto_build in _CACHED:
+        return _CACHED[auto_build]
+    result = None
+    if LIB_PATH.exists() or (auto_build and build()):
+        try:
+            result = NativeIO(ctypes.CDLL(str(LIB_PATH)))
+        except OSError:
+            result = None
+    _CACHED[auto_build] = result
+    return result
