@@ -40,8 +40,9 @@ def main():
                 "jax": lambda ns: d2q9.run(
                     f0, mask_b, amask, num_steps=ns, omega=1.85,
                     accel_w1=w1, accel_w2=w2),
-                # keep the per-band VMEM working set ~constant as nx grows
-                "pallas_k4": lambda ns, band=max(8, 128 * 1024 // n):
+                # widest band whose right-sized VMEM budget fits (~120MB):
+                # halo overhead is 16/band, so wider is better until VMEM
+                "pallas_k4": lambda ns, band={1024: 128, 2048: 128, 4096: 64}[n]:
                     d2q9_pallas.run(
                         f0, mask_f, num_steps=ns, omega=1.85, accel_w1=w1,
                         accel_w2=w2, accel_row=n - 2, band=band, k_steps=4),

@@ -55,11 +55,15 @@ def default_vmem_limit(band: int, nx: int, k_steps: int) -> int:
     return min(120 * 1024 * 1024, int((operands + scratch) * 1.35))
 
 
-def choose_band(h: int, w: int, vmem_budget: int = DEF_VMEM_BUDGET) -> int:
-    """Largest band height B (multiple of 8, divides H) whose working set
-    (cur + out + halos + mask, double-buffered) fits the VMEM budget."""
+def choose_band(h: int, w: int, vmem_budget: int = 48 * 1024 * 1024) -> int:
+    """Band height B (multiple of 8, divides H) for the fused kernel.
+
+    Measured on v5e (experiments/min-band-size, large-grid): halo overhead is
+    16/B so wider is better, but beyond B=128 (at W=1024) the right-sized
+    VMEM working set crosses ~45MB and throughput drops — so take the largest
+    B <= 128 whose double-buffered working set fits the budget."""
     best = 8
-    for b in range(8, h + 1, 8):
+    for b in range(8, min(h, 128) + 1, 8):
         if h % b:
             continue
         # bytes: (2*9*B*W f32 in/out + 2*9*8*W halos + B*W mask) * 2 (pipeline)
