@@ -40,9 +40,9 @@ def main():
                 "jax": lambda ns: d2q9.run(
                     f0, mask_b, amask, num_steps=ns, omega=1.85,
                     accel_w1=w1, accel_w2=w2),
-                # widest band whose right-sized VMEM budget fits (~120MB):
-                # halo overhead is 16/band, so wider is better until VMEM
-                "pallas_k4": lambda ns, band={1024: 128, 2048: 128, 4096: 64}[n]:
+                # constant ~21MB working set wins (measured: at 2048/4096 the
+                # smaller band beats wider-band halo amortisation)
+                "pallas_k4": lambda ns, band=max(8, 128 * 1024 // n):
                     d2q9_pallas.run(
                         f0, mask_f, num_steps=ns, omega=1.85, accel_w1=w1,
                         accel_w2=w2, accel_row=n - 2, band=band, k_steps=4),

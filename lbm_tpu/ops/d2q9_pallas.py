@@ -55,13 +55,14 @@ def default_vmem_limit(band: int, nx: int, k_steps: int) -> int:
     return min(120 * 1024 * 1024, int((operands + scratch) * 1.35))
 
 
-def choose_band(h: int, w: int, vmem_budget: int = 48 * 1024 * 1024) -> int:
+def choose_band(h: int, w: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
     """Band height B (multiple of 8, divides H) for the fused kernel.
 
-    Measured on v5e (experiments/min-band-size, large-grid): halo overhead is
-    16/B so wider is better, but beyond B=128 (at W=1024) the right-sized
-    VMEM working set crosses ~45MB and throughput drops — so take the largest
-    B <= 128 whose double-buffered working set fits the budget."""
+    Measured on v5e (experiments/min-band-size, large-grid): the optimum is a
+    roughly CONSTANT ~21MB double-buffered working set (band 128 at W=1024,
+    64 at 2048, 32 at 4096) — a wider band amortises the 16/B halo rows but
+    loses more to VMEM pressure in the pipeline. Take the largest B <= 128
+    whose working set fits the ~24MB budget."""
     best = 8
     for b in range(8, min(h, 128) + 1, 8):
         if h % b:
