@@ -79,10 +79,11 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             omega: float, accel_w1: float, accel_w2: float, accel_row: int):
     """K fused timesteps on one band. See module docstring for the scheme.
 
-    scal_ref (SMEM int32 (1,4)) holds (row_offset, valid_lo, valid_hi,
-    global_ny): row_offset maps local row index -> global row (nonzero when
-    the array is a shard's ghost-extended block, parallel/pallas_sharded.py);
-    rows outside [valid_lo, valid_hi) are ghost duplicates excluded from the
+    scal_ref (SMEM int32 (1,6)) holds (row_offset, valid_lo, valid_hi,
+    global_ny, col_lo, col_hi): row_offset maps local row index -> global row
+    (nonzero when the array is a shard's ghost-extended block,
+    parallel/pallas_sharded.py); rows outside [valid_lo, valid_hi) and
+    columns outside [col_lo, col_hi) are ghost duplicates excluded from the
     Sum|u|; the accelerated-row test is taken mod global_ny so wrapped /
     ghost copies of the accelerated row receive the force too.
     """
@@ -91,6 +92,8 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
     valid_lo = scal_ref[0, 1]
     valid_hi = scal_ref[0, 2]
     global_ny = scal_ref[0, 3]
+    col_lo = scal_ref[0, 4]
+    col_hi = scal_ref[0, 5]
     w = f_ref.shape[-1]
     # compute always in f32; bf16 is a storage format (halves HBM traffic,
     # the reference's float->half axis) and TPU rotates need 32-bit lanes
@@ -139,7 +142,9 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             tot_ref[0, j] = jnp.zeros((), dt)
 
     band_rows = i * band + jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
-    valid_rows = ((band_rows >= valid_lo) & (band_rows < valid_hi))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    valid_cells = ((band_rows >= valid_lo) & (band_rows < valid_hi)
+                   & (cols >= col_lo) & (cols < col_hi))
 
     for j in range(1, k + 1):
         n_rows = band + 2 * (k - j)  # rows of this step's output region
@@ -159,7 +164,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
         # to the neighbouring bands; ghost rows duplicate other shards).
         interior = u[k - j : k - j + band, :]
         tot_ref[0, j - 1] += jnp.sum(
-            jnp.where(valid_rows, interior, jnp.zeros((), dt))
+            jnp.where(valid_cells, interior, jnp.zeros((), dt))
         )
 
     out_ref[:] = state.astype(out_ref.dtype)
@@ -188,7 +193,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((9, band, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             # 8-row block whose LAST row is global row i*B - 1 (periodic)
             pl.BlockSpec((9, 8, nx), lambda i: (0, (i * bb8 - 1) % nblk8, 0),
@@ -235,15 +240,17 @@ def stepk(
     interpret: bool | None = None,
     row_offset: jax.Array | int = 0,
     valid_rows: tuple | None = None,
+    valid_cols: tuple | None = None,
     global_ny: int | None = None,
     vmem_limit: int | None = None,
 ):
     """K fused timesteps in one HBM pass. `mask_f` is the obstacle mask as
     {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,)).
 
-    row_offset / valid_rows support ghost-extended shard blocks (see
-    parallel/pallas_sharded.py): local row r is global row r + row_offset,
-    and only local rows in [valid_rows) contribute to the Sum|u|.
+    row_offset / valid_rows / valid_cols support ghost-extended shard blocks
+    (see parallel/pallas_sharded.py): local row r is global row
+    r + row_offset, and only local cells in [valid_rows) x [valid_cols)
+    contribute to the Sum|u|.
     """
     _, ny, nx = f.shape
     if band is None:
@@ -252,6 +259,8 @@ def stepk(
         interpret = jax.default_backend() != "tpu"
     if valid_rows is None:
         valid_rows = (0, ny)
+    if valid_cols is None:
+        valid_cols = (0, nx)
     call = _build_step(
         (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
@@ -261,8 +270,10 @@ def stepk(
         [jnp.asarray(row_offset, jnp.int32),
          jnp.asarray(valid_rows[0], jnp.int32),
          jnp.asarray(valid_rows[1], jnp.int32),
-         jnp.asarray(global_ny if global_ny is not None else ny, jnp.int32)]
-    ).reshape(1, 4)
+         jnp.asarray(global_ny if global_ny is not None else ny, jnp.int32),
+         jnp.asarray(valid_cols[0], jnp.int32),
+         jnp.asarray(valid_cols[1], jnp.int32)]
+    ).reshape(1, 6)
     f_new, tots = call(scal, f, f, f, mask_f, mask_f, mask_f)
     return f_new, tots[0]
 

@@ -1,21 +1,23 @@
 """Communication-avoiding multi-chip LBM: ghost-band exchange + local
 K-step Pallas kernel.
 
-The production distributed path. Each shard owns a contiguous block of grid
-rows (1-D 'ry' mesh, full width — columns wrap locally). Instead of
-exchanging one halo row every step, each shard carries an 8-row ghost band on
-each side, exchanged once per K steps with a single `lax.ppermute` pair; the
-fused K-step Pallas kernel (ops/d2q9_pallas.py) then advances the
-ghost-extended block K timesteps entirely in VMEM. Information propagates one
-row per step, so own rows stay exact for K <= 8 — the ghost rows absorb the
-error and are refreshed at the next exchange. Sum|u| partials exclude ghost
-rows (they duplicate neighbour rows) and are `psum`'d.
+The production distributed path. Each shard owns a contiguous block of the
+grid over a ('ry','rx') mesh. Instead of exchanging one halo row/column every
+step, each shard carries ghost bands — 8 rows (the kernel's halo-block
+height) and, when columns are sharded, 128 columns (the TPU lane width) —
+exchanged once per K steps with one `lax.ppermute` pair per mesh axis (the
+2-wave scheme: columns first, then rows of the column-extended block so the
+corners ride along). The fused K-step Pallas kernel (ops/d2q9_pallas.py) then
+advances the ghost-extended block K timesteps entirely in VMEM. Information
+propagates one cell per step, so own cells stay exact for K <= 8 — the ghosts
+absorb the wavefront and are refreshed at the next exchange. Sum|u| partials
+exclude ghost cells (they duplicate neighbour cells) and are `psum`'d.
 
 This combines the reference's two best ideas — the fused LbmTimeStepVertex
 and its "implicit, compiler-scheduled, batched exchange beats chatty copies"
 lesson (experiments/halo-exchange-approaches) — with classic
-communication-avoiding stencil tiling. ICI traffic per K steps: 2 x 8 rows of
-9 planes, vs 2 x K rows for per-step halo exchange, in 1/K as many messages.
+communication-avoiding stencil tiling: 1/K as many messages as per-step halo
+exchange.
 """
 
 from __future__ import annotations
@@ -31,32 +33,56 @@ from ..core.params import Params
 from ..ops import d2q9, d2q9_pallas
 from . import mesh as mesh_lib
 
-ROW = mesh_lib.ROW_AXIS
-GHOST = 8  # ghost band height = the kernel's halo-block height
+ROW, COL = mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS
+GHOST = 8         # ghost band height = the kernel's halo-block height
+GHOST_COLS = 128  # ghost band width = TPU lane width
 
 
 def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D rows-only mesh (columns wrap locally on each shard)."""
     if devices is None:
         devices = jax.devices()
     n = n_devices or len(devices)
-    return Mesh(np.array(devices[:n]).reshape(n, 1),
-                (mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS))
+    return Mesh(np.array(devices[:n]).reshape(n, 1), (ROW, COL))
 
 
-def extended_mask(obstacle_mask: np.ndarray, n_shards: int) -> np.ndarray:
+def make_mesh2d(rows: int, cols: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices[: rows * cols]).reshape(rows, cols), (ROW, COL))
+
+
+def extended_mask(obstacle_mask: np.ndarray, n_row_shards: int,
+                  n_col_shards: int = 1) -> np.ndarray:
     """Per-shard ghost-extended obstacle masks, stacked to
-    (n_shards*(h+16), nx) so P('ry') hands each shard its slab."""
+    (r*(h+16), c*(w+256)) so P('ry','rx') hands each shard its slab."""
     ny, nx = obstacle_mask.shape
-    if ny % n_shards:
-        raise ValueError(f"ny {ny} not divisible by {n_shards} shards")
-    h = ny // n_shards
+    if ny % n_row_shards or nx % n_col_shards:
+        raise ValueError(
+            f"{ny}x{nx} not divisible by {n_row_shards}x{n_col_shards} shards"
+        )
+    h = ny // n_row_shards
+    w = nx // n_col_shards
     if h < GHOST:
         raise ValueError(f"shard height {h} < ghost band {GHOST}")
-    slabs = []
-    for s in range(n_shards):
+    if n_col_shards > 1 and w < GHOST_COLS:
+        raise ValueError(f"shard width {w} < ghost band {GHOST_COLS}")
+    gc = GHOST_COLS if n_col_shards > 1 else 0
+    row_blocks = []
+    for s in range(n_row_shards):
         rows = np.arange(s * h - GHOST, s * h + h + GHOST) % ny
-        slabs.append(obstacle_mask[rows])
-    return np.concatenate(slabs, axis=0)
+        col_blocks = []
+        for t in range(n_col_shards):
+            cols = np.arange(t * w - gc, t * w + w + gc) % nx
+            col_blocks.append(obstacle_mask[np.ix_(rows, cols)])
+        row_blocks.append(np.concatenate(col_blocks, axis=1))
+    return np.concatenate(row_blocks, axis=0)
+
+
+def _ring(x, axis_name, direction):
+    n = jax.lax.psum(1, axis_name)
+    return jax.lax.ppermute(x, axis_name,
+                            [(i, (i + direction) % n) for i in range(n)])
 
 
 def make_chunk_fn(
@@ -68,45 +94,52 @@ def make_chunk_fn(
     accel_w2: float,
     accel_row: int,
     ny: int,
+    nx: int | None = None,
     band: int | None = None,
     interpret: bool | None = None,
 ):
     """Returns a jittable fn advancing the sharded state K steps:
-    (f (9,ny,nx) P(None,'ry',None), mask_ext ((r*(h+16)),nx) P('ry',None))
+    (f (9,ny,nx) P(None,'ry','rx'), mask_ext P('ry','rx'))
     -> (f', tot_u (K,) replicated)."""
     if not 1 <= k_steps <= GHOST:
         raise ValueError(f"k_steps must be in 1..{GHOST}")
-    n_shards = mesh.devices.shape[0]
-    h = ny // n_shards
+    n_rows, n_cols = mesh.devices.shape
+    h = ny // n_rows
+    gc = GHOST_COLS if n_cols > 1 else 0
 
     def local_chunk(f_loc, mask_ext_f):
-        # one exchange: 8-row edge blocks ride the row ring
-        top8 = f_loc[:, -GHOST:, :]
-        bot8 = f_loc[:, :GHOST, :]
-        n = jax.lax.psum(1, ROW)
-        fwd = [(i, (i + 1) % n) for i in range(n)]
-        bwd = [(i, (i - 1) % n) for i in range(n)]
-        ghost_south = jax.lax.ppermute(top8, ROW, fwd)  # shard i-1's top rows
-        ghost_north = jax.lax.ppermute(bot8, ROW, bwd)  # shard i+1's bottom rows
-        ext = jnp.concatenate([ghost_south, f_loc, ghost_north], axis=1)
+        w = f_loc.shape[-1]
+        # wave 1 (columns, only when column-sharded): 128-col edge blocks
+        if n_cols > 1:
+            ghost_w = _ring(f_loc[:, :, -GHOST_COLS:], COL, +1)
+            ghost_e = _ring(f_loc[:, :, :GHOST_COLS], COL, -1)
+            ext_c = jnp.concatenate([ghost_w, f_loc, ghost_e], axis=2)
+        else:
+            ext_c = f_loc
+        # wave 2 (rows): 8-row edge blocks of the column-extended array,
+        # so ghost corners ride along
+        ghost_s = _ring(ext_c[:, -GHOST:, :], ROW, +1)
+        ghost_n = _ring(ext_c[:, :GHOST, :], ROW, -1)
+        ext = jnp.concatenate([ghost_s, ext_c, ghost_n], axis=1)
 
-        shard_start = jax.lax.axis_index(ROW).astype(jnp.int32) * h
+        shard_row0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
         ext_new, tots = d2q9_pallas.stepk(
             ext, mask_ext_f, k_steps=k_steps, omega=omega,
             accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
             band=band, interpret=interpret,
-            row_offset=shard_start - GHOST,
+            row_offset=shard_row0 - GHOST,
             valid_rows=(GHOST, GHOST + h),
+            valid_cols=(gc, gc + w),
             global_ny=ny,
         )
-        f_new = ext_new[:, GHOST : GHOST + h, :]
-        return f_new, jax.lax.psum(tots, ROW)
+        f_new = ext_new[:, GHOST : GHOST + h, gc : gc + w]
+        return f_new, jax.lax.psum(tots, (ROW, COL))
 
     return jax.shard_map(
         local_chunk,
         mesh=mesh,
-        in_specs=(P(None, ROW, None), P(ROW, None)),
-        out_specs=(P(None, ROW, None), P()),
+        in_specs=(P(None, ROW, COL), P(ROW, COL)),
+        out_specs=(P(None, ROW, COL), P()),
         # pallas_call's out_shape carries no varying-mesh-axis info
         check_vma=False,
     )
@@ -161,21 +194,21 @@ def simulate(
     ghost-band + local-Pallas path. Same contract as d2q9.simulate."""
     if mesh is None:
         mesh = make_row_mesh()
-    n_shards = mesh.devices.shape[0]
+    n_rows, n_cols = mesh.devices.shape
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
 
     obstacle_np = np.asarray(obstacle_mask)
-    f = jax.device_put(jnp.asarray(f), NamedSharding(mesh, P(None, ROW, None)))
+    f = jax.device_put(jnp.asarray(f), NamedSharding(mesh, P(None, ROW, COL)))
     obstacle_sh = jax.device_put(
-        jnp.asarray(obstacle_np), NamedSharding(mesh, P(ROW, None))
+        jnp.asarray(obstacle_np), NamedSharding(mesh, P(ROW, COL))
     )
     f = d2q9.first_accelerate(
         f, obstacle_sh, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
     )
     mask_ext_f = jax.device_put(
-        jnp.asarray(extended_mask(obstacle_np, n_shards), f.dtype),
-        NamedSharding(mesh, P(ROW, None)),
+        jnp.asarray(extended_mask(obstacle_np, n_rows, n_cols), f.dtype),
+        NamedSharding(mesh, P(ROW, COL)),
     )
     f_final, tot_u = run(
         f, mask_ext_f, mesh=mesh, num_steps=params.max_iters,

@@ -93,6 +93,33 @@ def test_extended_mask_wraps():
     assert shard0[8, 0]  # own row 0 (blocked)
 
 
+def test_2d_mesh_matches_global_engine():
+    """2-D ('ry','rx') mesh with 128-column ghost bands: own cells match the
+    global evolution for K <= 8."""
+    ny, nx = 32, 512  # 2x4 mesh -> shards of 16 x 128
+    f, mask = make_case(ny, nx)
+    w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
+    accel_row = ny - 2
+    num_steps = 8
+
+    amask = d2q9.accel_row_mask(ny, nx, accel_row)
+    f_ref, tots_ref = d2q9.run(
+        jnp.asarray(f), jnp.asarray(mask), amask,
+        num_steps=num_steps, omega=1.85, accel_w1=w1, accel_w2=w2,
+    )
+
+    mesh = pallas_sharded.make_mesh2d(2, 4)
+    mask_ext = jnp.asarray(pallas_sharded.extended_mask(mask, 2, 4), jnp.float32)
+    f_dist, tots = pallas_sharded.run(
+        jnp.asarray(f), mask_ext, mesh=mesh, num_steps=num_steps,
+        k_steps=4, omega=1.85, accel_w1=w1, accel_w2=w2,
+        accel_row=accel_row, ny=ny, band=8,
+    )
+    np.testing.assert_allclose(np.asarray(f_dist), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tots), np.asarray(tots_ref), rtol=1e-4)
+
+
 def test_rejects_too_deep_k():
     mesh = pallas_sharded.make_row_mesh(2)
     with pytest.raises(ValueError, match="k_steps"):
