@@ -32,7 +32,6 @@ def main(argv=None) -> int:
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--strategies", default="implicit,ppermute,allgather")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
-    parser.add_argument("--csv", action="store_true", help="CSV output only")
     args = parser.parse_args(argv)
 
     import jax

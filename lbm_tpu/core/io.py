@@ -31,6 +31,10 @@ C_SQ = 1.0 / 3.0  # square of speed of sound
 
 
 def write_av_vels(path: str | Path, av_vels: np.ndarray) -> None:
+    native = _try_native()
+    if native is not None:
+        native.write_av_vels(str(path), np.asarray(av_vels))
+        return
     with open(path, "w") as fh:
         fh.writelines(f"{i}:\t{float(v):.12E}\n" for i, v in enumerate(np.asarray(av_vels)))
 

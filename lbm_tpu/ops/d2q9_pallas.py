@@ -95,9 +95,10 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
     col_lo = scal_ref[0, 4]
     col_hi = scal_ref[0, 5]
     w = f_ref.shape[-1]
-    # compute always in f32; bf16 is a storage format (halves HBM traffic,
-    # the reference's float->half axis) and TPU rotates need 32-bit lanes
-    dt = jnp.float32
+    # bf16 is a storage-only format (TPU rotates need 32-bit lanes): compute
+    # in f32. f32/f64 storage computes in its own precision (f64 is the CPU
+    # golden-verification path; TPU hardware is f32).
+    dt = jnp.float32 if f_ref.dtype == jnp.bfloat16 else f_ref.dtype
     k = k_steps
 
     def east(x):
@@ -213,7 +214,10 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, ny, nx), dtype),
-            jax.ShapeDtypeStruct((1, k_steps), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (1, k_steps),
+                jnp.float64 if dtype == jnp.float64 else jnp.float32,
+            ),
         ],
         cost_estimate=pl.CostEstimate(
             flops=k_steps * 75 * ny * nx,

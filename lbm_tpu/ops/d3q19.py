@@ -177,7 +177,7 @@ def simulate(
     if engine == "pallas":
         from . import d3q19_pallas
 
-        if num_steps % k_steps:
+        if num_steps % k_steps or nz % k_steps:
             k_steps = 1
         f_final, tot = d3q19_pallas.run(
             f, obstacle_mask.astype(f.dtype), num_steps=num_steps,

@@ -41,7 +41,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
     i = pl.program_id(0)
     global_nz = scal_ref[0, 0]
     k = k_steps
-    dt = jnp.float32
+    dt = jnp.float32 if f_ref.dtype == jnp.bfloat16 else f_ref.dtype
     ny = f_ref.shape[-2]
     nx = f_ref.shape[-1]
 

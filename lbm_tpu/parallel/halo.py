@@ -32,7 +32,7 @@ from . import mesh as mesh_lib
 ROW, COL = mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS
 
 
-def _ring_shift(x: jax.Array, axis_name: str, direction: int) -> jax.Array:
+def ring_shift(x: jax.Array, axis_name: str, direction: int) -> jax.Array:
     """Pass `x` to the neighbour `direction` steps along the named mesh axis
     (periodic). direction=+1: data moves to the next-higher index."""
     n = jax.lax.psum(1, axis_name)
@@ -51,15 +51,15 @@ def exchange_halos_2wave(f_loc: jax.Array) -> jax.Array:
     # wave 1: rows. ghost row below = real top row of the southern neighbour.
     top = f_loc[:, -1:, :]   # our northmost row -> becomes neighbour's south ghost
     bot = f_loc[:, :1, :]
-    ghost_south = _ring_shift(top, ROW, +1)  # from row-shard i-1
-    ghost_north = _ring_shift(bot, ROW, -1)  # from row-shard i+1
+    ghost_south = ring_shift(top, ROW, +1)  # from row-shard i-1
+    ghost_north = ring_shift(bot, ROW, -1)  # from row-shard i+1
     ext = jnp.concatenate([ghost_south, f_loc, ghost_north], axis=1)
 
     # wave 2: columns of the extended block (corners included).
     left = ext[:, :, -1:]
     right = ext[:, :, :1]
-    ghost_west = _ring_shift(left, COL, +1)
-    ghost_east = _ring_shift(right, COL, -1)
+    ghost_west = ring_shift(left, COL, +1)
+    ghost_east = ring_shift(right, COL, -1)
     return jnp.concatenate([ghost_west, ext, ghost_east], axis=2)
 
 

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.params import Params
 from ..ops import d2q9, d2q9_pallas
-from . import mesh as mesh_lib
+from . import halo as halo_lib, mesh as mesh_lib
 
 ROW, COL = mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS
 GHOST = 8         # ghost band height = the kernel's halo-block height
@@ -79,12 +79,6 @@ def extended_mask(obstacle_mask: np.ndarray, n_row_shards: int,
     return np.concatenate(row_blocks, axis=0)
 
 
-def _ring(x, axis_name, direction):
-    n = jax.lax.psum(1, axis_name)
-    return jax.lax.ppermute(x, axis_name,
-                            [(i, (i + direction) % n) for i in range(n)])
-
-
 def make_chunk_fn(
     mesh: Mesh,
     *,
@@ -111,15 +105,15 @@ def make_chunk_fn(
         w = f_loc.shape[-1]
         # wave 1 (columns, only when column-sharded): 128-col edge blocks
         if n_cols > 1:
-            ghost_w = _ring(f_loc[:, :, -GHOST_COLS:], COL, +1)
-            ghost_e = _ring(f_loc[:, :, :GHOST_COLS], COL, -1)
+            ghost_w = halo_lib.ring_shift(f_loc[:, :, -GHOST_COLS:], COL, +1)
+            ghost_e = halo_lib.ring_shift(f_loc[:, :, :GHOST_COLS], COL, -1)
             ext_c = jnp.concatenate([ghost_w, f_loc, ghost_e], axis=2)
         else:
             ext_c = f_loc
         # wave 2 (rows): 8-row edge blocks of the column-extended array,
         # so ghost corners ride along
-        ghost_s = _ring(ext_c[:, -GHOST:, :], ROW, +1)
-        ghost_n = _ring(ext_c[:, :GHOST, :], ROW, -1)
+        ghost_s = halo_lib.ring_shift(ext_c[:, -GHOST:, :], ROW, +1)
+        ghost_n = halo_lib.ring_shift(ext_c[:, :GHOST, :], ROW, -1)
         ext = jnp.concatenate([ghost_s, ext_c, ghost_n], axis=1)
 
         shard_row0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h

@@ -73,12 +73,20 @@ def build() -> bool:
 _CACHED: dict[bool, NativeIO | None] = {}
 
 
+def _lib_is_fresh() -> bool:
+    src = NATIVE_DIR / "lbmio.cpp"
+    return (LIB_PATH.exists()
+            and (not src.exists()
+                 or LIB_PATH.stat().st_mtime >= src.stat().st_mtime))
+
+
 def load(auto_build: bool = True) -> NativeIO | None:
-    """Memoized: dlopen once per process."""
+    """Memoized: dlopen once per process. Rebuilds when lbmio.cpp is newer
+    than the library (the .so is a local build artifact, never shipped)."""
     if auto_build in _CACHED:
         return _CACHED[auto_build]
     result = None
-    if LIB_PATH.exists() or (auto_build and build()):
+    if _lib_is_fresh() or (auto_build and build()):
         try:
             result = NativeIO(ctypes.CDLL(str(LIB_PATH)))
         except OSError:

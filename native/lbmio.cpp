@@ -56,14 +56,20 @@ int lbmio_write_av_vels(const char *path, const double *vals, long n) {
 }
 
 // Reads an obstacle file of "x y 1" lines into mask[ny*nx] (row-major).
-// Returns the number of entries read, or -1 on parse/range error.
+// Exactly three whitespace-separated fields per line (matching the strict
+// Python loader); blank lines allowed. Returns the number of entries read,
+// or -1 on parse/range error.
 long lbmio_read_obstacles(const char *path, unsigned char *mask,
                           long ny, long nx) {
     FILE *fp = fopen(path, "r");
     if (!fp) return -1;
-    long x, y, blocked, count = 0;
-    int got;
-    while ((got = fscanf(fp, "%ld %ld %ld", &x, &y, &blocked)) != EOF) {
+    char line[256];
+    long count = 0;
+    while (fgets(line, sizeof(line), fp)) {
+        long x, y, blocked;
+        char extra[2];
+        int got = sscanf(line, " %ld %ld %ld %1s", &x, &y, &blocked, extra);
+        if (got == EOF || got == 0) continue;  // blank line
         if (got != 3 || x < 0 || x >= nx || y < 0 || y >= ny || blocked != 1) {
             fclose(fp);
             return -1;

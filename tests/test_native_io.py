@@ -52,3 +52,10 @@ def test_read_obstacles_rejects_out_of_range(tmp_path):
     (tmp_path / "bad.dat").write_text("99 0 1\n")
     with pytest.raises(ValueError):
         native.read_obstacles(str(tmp_path / "bad.dat"), 4, 4)
+
+
+def test_read_obstacles_rejects_extra_tokens(tmp_path):
+    """Exactly three fields per line, like the Python loader."""
+    (tmp_path / "six.dat").write_text("0 0 1 1 1 1\n")
+    with pytest.raises(ValueError):
+        native.read_obstacles(str(tmp_path / "six.dat"), 4, 4)
