@@ -110,3 +110,30 @@ class TestImageUtils:
     def test_load_reference_image(self, reference_dir):
         rgba = img_lib.load_png(f"{reference_dir}/images/test-small.png")
         assert rgba.ndim == 3 and rgba.shape[2] == 4
+
+
+class TestShardedBlur:
+    """Multi-device blur (the reference's gaussian-blur-scaling axis): the
+    conv engine on a sharded image is partitioned by XLA (implicit halos)."""
+
+    def test_sharded_conv_blur_matches_local(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if len(jax.devices()) < 8:
+            import pytest as _pytest
+
+            _pytest.skip("needs 8 virtual devices")
+        chans = RNG.uniform(0, 1, size=(4, 62, 510)).astype(np.float32)
+        padded, interior, _ = img_lib.pad_to_tile(chans)
+        local = np.asarray(stencil.blur_many(
+            jnp.asarray(padded), jnp.asarray(interior), num_iters=3))
+
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4), ("ry", "rx"))
+        xs = jax.device_put(jnp.asarray(padded),
+                            NamedSharding(mesh, P(None, "ry", "rx")))
+        ins = jax.device_put(jnp.asarray(interior),
+                             NamedSharding(mesh, P("ry", "rx")))
+        sharded = np.asarray(stencil.blur_many(xs, ins, num_iters=3))
+        np.testing.assert_allclose(sharded, local, rtol=1e-5, atol=1e-7)
