@@ -13,7 +13,6 @@ import dataclasses
 import time
 from pathlib import Path
 
-
 import jax.numpy as jnp
 import numpy as np
 

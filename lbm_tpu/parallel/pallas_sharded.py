@@ -88,7 +88,6 @@ def make_chunk_fn(
     accel_w2: float,
     accel_row: int,
     ny: int,
-    nx: int | None = None,
     band: int | None = None,
     interpret: bool | None = None,
 ):

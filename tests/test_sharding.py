@@ -141,3 +141,17 @@ class TestPartitionPlanner:
         assert mesh_lib.best_factorisation(8, 1024, 1024) in ((2, 4), (4, 2))
         with pytest.raises(ValueError):
             mesh_lib.best_factorisation(7, 10, 10)
+
+
+def test_viz_render_properties():
+    """viz_partition.render: every cell painted, borders white, RGBA shape."""
+    from lbm_tpu.cli.viz_partition import render
+
+    part = partition.partition_for_devices(32, 48, 4)
+    img = render(part, 32, 48)
+    assert img.shape == (32, 48, 4)
+    assert img[..., 3].min() == 255
+    assert img[..., :3].max() > 0
+    # border pixels of the first slice are white
+    sl = next(iter(part.values()))
+    assert (img[sl.row_start, sl.col_start:sl.col_end, :3] == 255).all()
