@@ -61,3 +61,38 @@ def test_rejects_bad_k():
     with pytest.raises(ValueError, match="k_steps"):
         d3q19_pallas.stepk(f, jnp.zeros((8, 8, 128)), k_steps=3, omega=1.85,
                            density=0.1, accel=0.005, accel_plane=6, bz=4)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_3d_config_parity(seed):
+    rng = np.random.default_rng(500 + seed)
+    nz = 2 * int(rng.integers(2, 7))
+    ny = 8 * int(rng.integers(1, 4))
+    nx = 128
+    k = int(rng.choice([1, 2]))
+    bzs = [b for b in (2, 4) if nz % b == 0 and b % k == 0]
+    if not bzs:
+        k, bzs = 1, [b for b in (1, 2) if nz % b == 0]
+    bz = int(rng.choice(bzs))
+    steps = k * int(rng.integers(1, 3))
+    omega = float(rng.uniform(0.8, 1.9))
+
+    f = d3q19.initial_distributions(nz, ny, nx, 0.1, np.float32)
+    f *= (1.0 + 0.02 * rng.uniform(-1, 1, size=f.shape)).astype(np.float32)
+    mask = rng.uniform(size=(nz, ny, nx)) < 0.08
+    amask = d3q19.accel_plane_mask(nz, ny, nx, nz - 2)
+
+    f_ref = jnp.asarray(f)
+    for _ in range(steps):
+        f_ref, _ = d3q19.step(f_ref, jnp.asarray(mask), amask,
+                              omega=omega, density=0.1, accel=0.005)
+
+    f_pl, _ = d3q19_pallas.run(
+        jnp.asarray(f), jnp.asarray(mask, np.float32), num_steps=steps,
+        k_steps=k, omega=omega, density=0.1, accel=0.005,
+        accel_plane=nz - 2, bz=bz,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pl), np.asarray(f_ref), rtol=2e-4, atol=1e-6,
+        err_msg=f"nz={nz} ny={ny} bz={bz} k={k} steps={steps}",
+    )
