@@ -182,12 +182,23 @@ def _build_resident_blur(c, h, w, dtype_name, num_passes, interpret):
     )
 
 
+RESIDENT_VMEM_BUDGET = 100 * 1024 * 1024
+
+
 def blur_resident(img: jax.Array, interior: jax.Array, *, num_passes: int,
                   interpret: bool | None = None) -> jax.Array:
     """`num_passes` blur applications with the image VMEM-resident
-    throughout. Needs ~(2*4 + 3) * C*H*W bytes of VMEM — use the banded
-    engines for images beyond roughly 1600x1600."""
+    throughout. Needs ~11 * C*H*W bytes of VMEM — use the banded engines
+    for images beyond roughly 1600x1600."""
     c, h, w = img.shape
+    # 2 f32 ping-pong buffers + in/out/interior + ~2 live temporaries
+    needed = (2 * 4 + img.dtype.itemsize * 2 + 2 * 4) * c * h * w
+    if needed > RESIDENT_VMEM_BUDGET:
+        raise ValueError(
+            f"image {c}x{h}x{w} needs ~{needed >> 20}MB VMEM for the "
+            f"resident engine (budget {RESIDENT_VMEM_BUDGET >> 20}MB); "
+            "use engine='pallas' or 'conv' for images this large"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     call = _build_resident_blur(c, h, w, jnp.dtype(img.dtype).name,

@@ -137,3 +137,10 @@ class TestShardedBlur:
                              NamedSharding(mesh, P("ry", "rx")))
         sharded = np.asarray(stencil.blur_many(xs, ins, num_iters=3))
         np.testing.assert_allclose(sharded, local, rtol=1e-5, atol=1e-7)
+
+
+def test_resident_rejects_oversized_image():
+    big = jnp.zeros((4, 2048, 2048), jnp.float32)
+    inter = jnp.zeros((2048, 2048), jnp.float32)
+    with pytest.raises(ValueError, match="resident"):
+        stencil.blur_resident(big, inter, num_passes=2)
