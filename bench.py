@@ -77,6 +77,36 @@ def pallas_only() -> int:
     return 0
 
 
+def run_pallas_subprocess(cmd=None, timeout=None):
+    """Run the pallas-engine timing in a subprocess; returns
+    (seconds | None, error | None). Failures are always surfaced — a
+    crashed/miscompiled pallas engine must show up in the bench JSON as
+    `pallas_error`, never silently degrade to the jax engine number."""
+    if cmd is None:
+        cmd = [sys.executable, os.path.abspath(__file__), "--pallas-only"]
+    if timeout is None:
+        timeout = PALLAS_TIMEOUT_S
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout}s (cold Mosaic compile?)"
+    except Exception as e:  # spawn failure etc.
+        return None, f"{type(e).__name__}: {e}"
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip()[-500:]
+        return None, f"rc={proc.returncode}: {tail}"
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            try:
+                return json.loads(line)["seconds"], None
+            except (ValueError, KeyError) as e:
+                return None, f"bad subprocess JSON ({e}): {line[:200]}"
+    return None, f"no JSON line in stdout: {proc.stdout.strip()[-300:]!r}"
+
+
 def main() -> int:
     from lbm_tpu.core import io
     from lbm_tpu.ops import d2q9
@@ -104,18 +134,9 @@ def main() -> int:
         accel_w1=aw.w1, accel_w2=aw.w2))
 
     # pallas in a timeout-guarded subprocess (cold Mosaic compile can be slow)
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pallas-only"],
-            capture_output=True, text=True, timeout=PALLAS_TIMEOUT_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                results["pallas_k4"] = json.loads(line)["seconds"]
-                break
-    except (subprocess.TimeoutExpired, Exception):
-        pass
+    pallas_seconds, pallas_error = run_pallas_subprocess()
+    if pallas_seconds is not None:
+        results["pallas_k4"] = pallas_seconds
 
     best_name = min(results, key=results.get)
     dt = results[best_name]
@@ -123,16 +144,21 @@ def main() -> int:
 
     import jax
 
-    print(json.dumps({
+    out = {
         "metric": "MLUPS/chip @1024x1024 D2Q9 f32",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / BASELINE_MLUPS, 3),
         "engine": best_name,
         "all_engines_seconds": {k: round(v, 4) for k, v in results.items()},
+        "pallas_config": {"band": 128, "k_steps": 4,
+                          "timeout_s": PALLAS_TIMEOUT_S},
         "correctness_max_rel_err_100_steps": float(rel.max()),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if pallas_error is not None:
+        out["pallas_error"] = pallas_error
+    print(json.dumps(out))
     return 0
 
 

@@ -44,7 +44,7 @@ def main(argv=None) -> int:
 
     params = Params.from_file(args.params)
     obstacles = Obstacles.from_file(args.obstacles, params)
-    num_steps = args.num_steps or params.max_iters
+    num_steps = args.num_steps if args.num_steps is not None else params.max_iters
 
     exe = profiling.load_executable(args.exe)
     aw = d2q9.AccelWeights.from_params(params)

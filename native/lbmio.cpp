@@ -3,9 +3,12 @@
 // The runtime-side native half of the framework (the reference's host code is
 // all C++; here the compute graph is XLA, and the performance-critical host
 // I/O lives in this library). Formats are byte-identical to the Python
-// fallbacks in lbm_tpu/core/io.py and to the reference's writers
+// fallbacks in lbm_tpu/core/io.py; they match the reference's writers
 // (reference: main/include/LatticeBoltzmannUtils.hpp:208-346,
-// main/LastChance.cpp:554-635).
+// main/LastChance.cpp:554-635) except for the final_state obstacle column,
+// where the reference writes the transposed obstacles[ii*nx + jj] — a
+// reference bug documented and deliberately fixed in core/io.py, so for
+// non-symmetric masks that one column differs from reference output.
 //
 // Build: make -C native      (produces liblbmio.so, loaded via ctypes)
 
@@ -24,9 +27,12 @@ int lbmio_write_final_state(const char *path,
                             long ny, long nx) {
     FILE *fp = fopen(path, "w");
     if (!fp) return -1;
-    // ~110 bytes/line; buffer a megabyte of stdio
-    static char buf[1 << 20];
-    setvbuf(fp, buf, _IOFBF, sizeof(buf));
+    // ~110 bytes/line; buffer a megabyte of stdio. Heap-allocated per call so
+    // concurrent writers (e.g. Python threads) never share a buffer; stdio
+    // default buffering is the fallback if allocation fails.
+    const size_t bufsize = 1 << 20;
+    char *buf = (char *)malloc(bufsize);
+    if (buf) setvbuf(fp, buf, _IOFBF, bufsize);
     for (long jj = 0; jj < ny; jj++) {
         const long row = jj * nx;
         for (long ii = 0; ii < nx; ii++) {
@@ -35,11 +41,14 @@ int lbmio_write_final_state(const char *path,
                         ii, jj, u_x[idx], u_y[idx], u[idx], pressure[idx],
                         (int)obstacle[idx]) < 0) {
                 fclose(fp);
+                free(buf);
                 return -1;
             }
         }
     }
-    return fclose(fp) == 0 ? 0 : -1;
+    const int rc = fclose(fp) == 0 ? 0 : -1;
+    free(buf);
+    return rc;
 }
 
 // Writes av_vels.dat: "<step>:\t<%.12E>" per line. 0 on success.

@@ -1,0 +1,52 @@
+"""bench.py must surface pallas-engine failures, never swallow them.
+
+Round-1 advisor finding: a crashed/miscompiled pallas subprocess silently
+degraded the headline number to the jax engine with no diagnostic. The
+subprocess runner now returns (seconds, error) and main() emits a
+`pallas_error` field.
+"""
+
+import inspect
+import sys
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+import bench  # noqa: E402
+
+
+def test_subprocess_nonzero_rc_is_reported():
+    secs, err = bench.run_pallas_subprocess(
+        cmd=[sys.executable, "-c", "import sys; sys.stderr.write('boom'); sys.exit(3)"],
+        timeout=60,
+    )
+    assert secs is None
+    assert "rc=3" in err and "boom" in err
+
+
+def test_subprocess_timeout_is_reported():
+    secs, err = bench.run_pallas_subprocess(
+        cmd=[sys.executable, "-c", "import time; time.sleep(30)"], timeout=1,
+    )
+    assert secs is None
+    assert "timeout" in err
+
+
+def test_subprocess_missing_json_is_reported():
+    secs, err = bench.run_pallas_subprocess(
+        cmd=[sys.executable, "-c", "print('hello')"], timeout=60,
+    )
+    assert secs is None
+    assert "no JSON line" in err
+
+
+def test_subprocess_good_json_is_parsed():
+    secs, err = bench.run_pallas_subprocess(
+        cmd=[sys.executable, "-c", "print('{\"seconds\": 1.5}')"], timeout=60,
+    )
+    assert err is None
+    assert secs == 1.5
+
+
+def test_main_emits_pallas_error_field():
+    src = inspect.getsource(bench.main)
+    assert '"pallas_error"' in src
