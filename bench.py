@@ -119,8 +119,12 @@ def main() -> int:
     _, tot = d2q9.run(f_start, mask, amask, num_steps=n_check, omega=p.omega,
                       accel_w1=aw.w1, accel_w2=aw.w2)
     av = np.asarray(tot, np.float64) / float((~np.asarray(mask)).sum())
+    # Gate at the measured f32 floor + ~2x margin (round-1 TPU measurement:
+    # 1.8e-4 over this prefix). The floor is state-rounding, not reduction
+    # error — see experiments/f32-error-decomposition (f64 reduction moves
+    # the error by <1e-6; only f64 state reaches the 1e-5 north-star).
     rel = np.abs(av - golden[:n_check]) / golden[:n_check]
-    if rel.max() > 1e-3:
+    if rel.max() > 4e-4:
         print(json.dumps({
             "metric": "MLUPS/chip @1024x1024 D2Q9 f32",
             "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,

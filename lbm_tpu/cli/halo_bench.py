@@ -8,12 +8,15 @@ naive explicit copies by orders of magnitude. Strategies here:
   implicit   — jnp.roll step on a sharded global array (XLA-chosen collectives)
   ppermute   — explicit shard_map 2-wave neighbour exchange
   allgather  — boundary rows/cols all-gathered (the deliberately-heavy scheme)
+  naive      — every edge and corner its own serialised collective (the
+               analogue of the reference's 8,500x-slower explicitOneTensor,
+               HaloRegionApproaches.cpp:522-738)
 
-Emits CSV rows: strategy,devices,mesh,grid,iters,seconds,mlups
+Emits CSV rows: strategy,platform,devices,mesh,grid,iters,seconds,mlups
 
 Usage:
     python -m lbm_tpu.cli.halo_bench --ny 1024 --nx 1024 -n 200 \
-        [--strategies implicit,ppermute,allgather] [--num-devices 8]
+        [--strategies implicit,ppermute,allgather,naive] [--num-devices 8]
         [--device cpu|tpu]
 """
 
@@ -30,7 +33,8 @@ def main(argv=None) -> int:
     parser.add_argument("--nx", type=int, default=1024)
     parser.add_argument("-n", "--num-iters", type=int, default=200)
     parser.add_argument("--num-devices", type=int, default=None)
-    parser.add_argument("--strategies", default="implicit,ppermute,allgather")
+    parser.add_argument("--strategies",
+                        default="implicit,ppermute,allgather,naive")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -57,8 +61,9 @@ def main(argv=None) -> int:
     mask = np.zeros((p.ny, p.nx), bool)
     mask[0, :] = True
 
+    platform = jax.devices()[0].platform
     out = sys.stdout
-    out.write("strategy,devices,mesh,grid,iters,seconds,mlups\n")
+    out.write("strategy,platform,devices,mesh,grid,iters,seconds,mlups\n")
     for strategy in args.strategies.split(","):
         # warm-up / compile
         _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy)
@@ -68,7 +73,7 @@ def main(argv=None) -> int:
         np.asarray(av)  # honest barrier (see bench.py note)
         dt = time.perf_counter() - t0
         mlups = args.num_iters * p.nx * p.ny / dt / 1e6
-        out.write(f"{strategy},{n_dev},{r}x{c},{p.ny}x{p.nx},"
+        out.write(f"{strategy},{platform},{n_dev},{r}x{c},{p.ny}x{p.nx},"
                   f"{args.num_iters},{dt:.4f},{mlups:.1f}\n")
     return 0
 

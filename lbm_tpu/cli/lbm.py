@@ -22,7 +22,10 @@ import argparse
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="TPU-native D2Q9 LBM")
     parser.add_argument("--params", required=True, help="7-line .params file")
-    parser.add_argument("--obstacles", required=True, help="obstacle .dat file")
+    parser.add_argument("--obstacles", default=None,
+                        help="obstacle .dat file (not needed with "
+                             "--compile-only: the exported step takes the "
+                             "obstacle mask as a runtime argument)")
     parser.add_argument("--engine", default="jax",
                         choices=["jax", "pallas", "sharded", "sharded-pallas"])
     parser.add_argument("--dtype", default="float32",
@@ -34,8 +37,10 @@ def main(argv=None) -> int:
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices for --engine sharded (default: all)")
     parser.add_argument("--strategy", default="ppermute",
-                        choices=["implicit", "ppermute", "allgather"],
-                        help="halo-exchange strategy for --engine sharded")
+                        choices=["implicit", "ppermute", "allgather", "naive"],
+                        help="halo-exchange strategy for --engine sharded "
+                             "(rejected by --engine sharded-pallas unless "
+                             "ppermute)")
     parser.add_argument("--out-dir", default=".")
     parser.add_argument("--compile-only", action="store_true",
                         help="AOT-compile the step and exit (no simulation)")
@@ -74,7 +79,10 @@ def main(argv=None) -> int:
         profiling.enable_nan_debugging()
 
     params = Params.from_file(args.params)
-    obstacles = Obstacles.from_file(args.obstacles, params)
+    if args.obstacles is None and not args.compile_only:
+        parser.error("--obstacles is required unless --compile-only")
+    obstacles = (Obstacles.from_file(args.obstacles, params)
+                 if args.obstacles else None)
     dtype = {"float32": jnp.float32, "float64": jnp.float64,
              "bfloat16": jnp.bfloat16}[args.dtype]
 
@@ -90,21 +98,27 @@ def main(argv=None) -> int:
         from ..core import state
         from ..ops import d2q9
 
+        # The obstacle mask is a RUNTIME argument of the compiled step: one
+        # exported executable serves any obstacle file of this grid size
+        # (the reference's AOT split compiles with "no obstacles needed to
+        # build!", main/LbmPoplibs.cpp:252, and streams them in the runner,
+        # :376-389 + main/LbmRunner.cpp:81-88).
         aw = d2q9.AccelWeights.from_params(params)
         f0 = jnp.asarray(state.initial_distributions(params, np.dtype(dtype)))
-        mask = jnp.asarray(obstacles.mask)
+        mask_spec = jnp.zeros((params.ny, params.nx), bool)
         amask = d2q9.accel_row_mask(params.ny, params.nx, params.ny - 2,
                                     dtype=f0.dtype)
 
-        def step_fn(f):
+        def step_fn(f, mask):
             return d2q9.step(f, mask, amask, omega=params.omega,
                              accel_w1=aw.w1, accel_w2=aw.w2)
 
         with profiling.timed("AOT compile"):
-            compiled = profiling.aot_compile(step_fn, f0)
+            compiled = profiling.aot_compile(step_fn, f0, mask_spec)
         print(f"flops/step (XLA estimate): {compiled.cost_analysis().get('flops', 0):.3e}")
         if args.export:
-            nbytes = profiling.export_executable(step_fn, f0, path=args.export)
+            nbytes = profiling.export_executable(step_fn, f0, mask_spec,
+                                                 path=args.export)
             print(f"exported {nbytes} bytes to {args.export}")
         return 0
 

@@ -55,8 +55,11 @@ def main(argv=None) -> int:
 
     @jax.jit
     def run(f):
+        # the exported step takes the obstacle mask as a runtime argument:
+        # one .jaxexe serves any obstacle file (reference: LbmRunner.cpp:81-88
+        # streams obstacles into a pre-compiled executable)
         def body(carry, _):
-            f_new, tot = exe.call(carry)
+            f_new, tot = exe.call(carry, mask)
             return f_new, tot
 
         return jax.lax.scan(body, f, None, length=num_steps)

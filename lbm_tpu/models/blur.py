@@ -21,16 +21,34 @@ def blur_image(
     engine: str = "conv",
     dtype=jnp.float32,
     blur_alpha: bool = False,
+    num_devices: int | None = None,
 ) -> tuple[np.ndarray, float]:
     """Normalise, pad, run num_iters x2 blur passes, denormalise.
     Returns (blurred RGBA uint8, compute_seconds). By default the alpha
     channel is left untouched, like the reference CPU driver
-    (GaussianBlurCpu.cpp:77 loops c < NumChannels-1)."""
+    (GaussianBlurCpu.cpp:77 loops c < NumChannels-1).
+
+    engine='conv-sharded' runs the conv engine on an image sharded over a
+    device mesh with XLA-implicit halo exchange — the multi-chip blur the
+    reference scaled to 16 IPUs (experiments/gaussian-blur-scaling)."""
     fimg = img_lib.to_float_image(rgba)
     padded, interior, (h, w) = img_lib.pad_to_tile(fimg.intensities)
 
     x = jnp.asarray(padded, dtype)
     inter = jnp.asarray(interior, dtype)
+
+    if engine == "conv-sharded":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh as mesh_lib
+
+        n = num_devices or len(jax.devices())
+        mesh = mesh_lib.make_mesh(n, padded.shape[1], padded.shape[2])
+        x = jax.device_put(x, NamedSharding(
+            mesh, P(None, mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS)))
+        inter = jax.device_put(inter, NamedSharding(
+            mesh, P(mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS)))
+        engine = "conv"
 
     out = stencil.blur_many(x, inter, num_iters=num_iters, engine=engine)
     np.asarray(out)  # materialize: warm-up/compile

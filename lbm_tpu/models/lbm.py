@@ -101,6 +101,11 @@ def run_simulation_sharded(
     f0 = state.initial_distributions(p, np.dtype(dtype))
 
     if engine == "sharded-pallas":
+        if strategy not in (None, "ppermute"):
+            raise ValueError(
+                f"--strategy {strategy!r} applies to --engine sharded only; "
+                "sharded-pallas always uses the ghost-band ppermute exchange"
+            )
         mesh = pallas_sharded.make_row_mesh(n)
         sim = lambda: pallas_sharded.simulate(p, f0, obstacles.mask, mesh)
     else:

@@ -19,12 +19,15 @@ equals the global step (tested on an 8-virtual-device CPU mesh).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core import state
 from ..core.params import Params
 from ..ops import d2q9
 from . import mesh as mesh_lib
@@ -99,6 +102,50 @@ def exchange_halos_allgather(f_loc: jax.Array) -> jax.Array:
     return jnp.concatenate([ghost_west, ext, ghost_east], axis=2)
 
 
+def exchange_halos_naive(f_loc: jax.Array) -> jax.Array:
+    """Deliberately-chatty exchange: every edge AND every corner is its own
+    collective (12 total: 4 edges + 4 corners x 2 hops), strictly
+    serialised by data dependencies so nothing batches or overlaps.
+
+    The analogue of the reference's worst performer `explicitOneTensor`
+    (HaloRegionApproaches.cpp:522-738): per-direction sequential copies
+    serialised into 99.9% sync time — 178,569,036 cycles vs 21,010 for the
+    compiler-scheduled implicit scheme (experiments/halo-exchange-approaches/
+    results.csv). Kept to reproduce that headline lesson on TPU; correct
+    physics, never use it for production.
+    """
+    _, h, w = f_loc.shape
+    zero = jnp.zeros((), f_loc.dtype)
+
+    def send(x, axis, direction, token):
+        # `token` is 0.0 but data-depends on the previous collective; the
+        # optimization_barrier stops XLA folding the +0 away, forcing the
+        # 12 collectives into a serial chain
+        g = ring_shift(x + token, axis, direction)
+        new_token = jax.lax.optimization_barrier(g[0, 0, 0] * zero)
+        return g, new_token
+
+    t = zero
+    ghost_s, t = send(f_loc[:, -1:, :], ROW, +1, t)
+    ghost_n, t = send(f_loc[:, :1, :], ROW, -1, t)
+    ghost_w, t = send(f_loc[:, :, -1:], COL, +1, t)
+    ghost_e, t = send(f_loc[:, :, :1], COL, -1, t)
+
+    def corner(cell, row_dir, col_dir, token):
+        x, token = send(cell, ROW, row_dir, token)
+        return send(x, COL, col_dir, token)
+
+    c_sw, t = corner(f_loc[:, -1:, -1:], +1, +1, t)  # from (ri-1, ci-1)
+    c_se, t = corner(f_loc[:, -1:, :1], +1, -1, t)   # from (ri-1, ci+1)
+    c_nw, t = corner(f_loc[:, :1, -1:], -1, +1, t)   # from (ri+1, ci-1)
+    c_ne, t = corner(f_loc[:, :1, :1], -1, -1, t)    # from (ri+1, ci+1)
+
+    bottom = jnp.concatenate([c_sw, ghost_s, c_se], axis=2)
+    middle = jnp.concatenate([ghost_w, f_loc, ghost_e], axis=2)
+    top = jnp.concatenate([c_nw, ghost_n, c_ne], axis=2)
+    return jnp.concatenate([bottom, middle, top], axis=1)
+
+
 def exchange_halos_none(f_loc: jax.Array) -> jax.Array:
     """Local-periodic ghost ring WITHOUT any inter-shard communication.
     Physically wrong at shard boundaries — exists only as the zero-exchange
@@ -109,9 +156,48 @@ def exchange_halos_none(f_loc: jax.Array) -> jax.Array:
     return jnp.concatenate([ext[:, :, -1:], ext, ext[:, :, :1]], axis=2)
 
 
+def exchange_halos_2wave_padded(f_loc: jax.Array, pad_rows: int,
+                                pad_cols: int) -> jax.Array:
+    """2-wave exchange for pad-and-mask uneven grids (the runtime analogue of
+    the reference's remainder-row strategies, StructuredGridUtils.hpp:309-412).
+
+    The global grid is padded so it divides the mesh; all padding sits at the
+    top of the LAST row-shard / the east of the LAST column-shard. The torus
+    therefore wraps at each shard's top *valid* row/col, not its block edge:
+    every shard sends its top valid row (dynamic-sliced — only the last shard
+    differs) and each receiver writes the incoming north/east ghost at its own
+    valid edge + 1 via dynamic_update_slice (a no-op position for unpadded
+    shards, overwriting a padding row/col on the last). Cells above/right of
+    the ghost are dead padding: masked as obstacles, excluded from Sum|u|,
+    never read by valid cells (the pull stencil is +-1).
+    """
+    _, h, w = f_loc.shape
+    nr = jax.lax.psum(1, ROW)
+    is_last_r = jax.lax.axis_index(ROW) == nr - 1
+    tv = h - 1 - jnp.where(is_last_r, pad_rows, 0)  # my top valid row
+
+    top = jax.lax.dynamic_slice(f_loc, (0, tv, 0), (9, 1, w))
+    ghost_south = ring_shift(top, ROW, +1)
+    ghost_north = ring_shift(f_loc[:, :1, :], ROW, -1)
+    ext = jnp.concatenate([ghost_south, f_loc, ghost_north], axis=1)
+    # place the north ghost just above my top valid row (ext row tv+2;
+    # equals the appended position h+1 when I carry no padding)
+    ext = jax.lax.dynamic_update_slice(ext, ghost_north, (0, tv + 2, 0))
+
+    nc = jax.lax.psum(1, COL)
+    is_last_c = jax.lax.axis_index(COL) == nc - 1
+    lv = w - 1 - jnp.where(is_last_c, pad_cols, 0)  # my east valid col
+    right = jax.lax.dynamic_slice(ext, (0, 0, lv), (9, h + 2, 1))
+    ghost_west = ring_shift(right, COL, +1)
+    ghost_east = ring_shift(ext[:, :, :1], COL, -1)
+    ext = jnp.concatenate([ghost_west, ext, ghost_east], axis=2)
+    return jax.lax.dynamic_update_slice(ext, ghost_east, (0, 0, lv + 2))
+
+
 EXCHANGES = {
     "ppermute": exchange_halos_2wave,
     "allgather": exchange_halos_allgather,
+    "naive": exchange_halos_naive,
     "none": exchange_halos_none,
 }
 
@@ -123,12 +209,25 @@ def make_sharded_step(
     accel_w1: float,
     accel_w2: float,
     exchange: str = "ppermute",
+    pad_rows: int = 0,
+    pad_cols: int = 0,
 ):
     """Explicit-exchange distributed step: f (9,ny,nx) sharded over
     (ry, rx); returns (f', tot_u) with tot_u psum'd across the mesh —
     the analogue of the reference's distributed averageVelocity reduction
-    (main/LbmAoS.cpp:25-93)."""
-    exchange_fn = EXCHANGES[exchange]
+    (main/LbmAoS.cpp:25-93). pad_rows/pad_cols > 0 selects the pad-and-mask
+    uneven-grid exchange (ppermute only)."""
+    if (pad_rows or pad_cols) and exchange != "ppermute":
+        raise ValueError(
+            f"uneven grids (padding) support only the 'ppermute' strategy, "
+            f"not {exchange!r}"
+        )
+    if pad_rows or pad_cols:
+        exchange_fn = functools.partial(
+            exchange_halos_2wave_padded, pad_rows=pad_rows, pad_cols=pad_cols
+        )
+    else:
+        exchange_fn = EXCHANGES[exchange]
 
     def local_step(f_loc, mask_loc, amask_loc):
         _, h, w = f_loc.shape
@@ -152,7 +251,7 @@ def make_sharded_step(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_steps", "omega", "accel_w1", "accel_w2",
-                     "unroll", "exchange"),
+                     "unroll", "exchange", "pad_rows", "pad_cols"),
 )
 def run_sharded(
     f: jax.Array,
@@ -166,10 +265,13 @@ def run_sharded(
     accel_w2: float,
     unroll: int = 1,
     exchange: str = "ppermute",
+    pad_rows: int = 0,
+    pad_cols: int = 0,
 ):
     """Device-resident multi-chip scan over the explicit-halo step."""
     step_fn = make_sharded_step(
-        mesh, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2, exchange=exchange
+        mesh, omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
+        exchange=exchange, pad_rows=pad_rows, pad_cols=pad_cols,
     )
 
     def body(carry, _):
@@ -198,19 +300,53 @@ def simulate_sharded(
     ('none' is a physically-WRONG zero-communication cost baseline and is
     rejected here; only the exchange-vs-compute experiment uses it via
     allow_invalid=True.)
+
+    Grids that do not divide the mesh run via pad-and-mask (ppermute; the
+    reference ran any grid on any IPU count, StructuredGridUtils.hpp:472-561)
+    or natively via GSPMD's uneven sharding (implicit).
     """
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
+    ny, nx = params.ny, params.nx
+    n_r, n_c = mesh.devices.shape
+
+    pad_r = pad_c = 0
+    if ny % n_r or nx % n_c:
+        if strategy == "implicit":
+            # device_put rejects non-divisible NamedShardings in this JAX
+            # version, and padding would route the implicit jnp.roll
+            # wraparound through dead cells
+            raise ValueError(
+                f"{ny}x{nx} does not divide the {n_r}x{n_c} mesh; the "
+                "'implicit' strategy cannot lay out uneven shards — use "
+                "strategy='ppermute' (pad-and-mask)"
+            )
+        pad_r, pad_c = mesh_lib.shard_padding(ny, nx, n_r, n_c)
+        f_np = np.asarray(f)
+        fpad = np.empty((9, ny + pad_r, nx + pad_c), f_np.dtype)
+        # padding cells hold the initial equilibrium (finite values); they
+        # are masked as obstacles, excluded from Sum|u|, and never read by
+        # valid cells (the padded exchange wraps at the valid edge)
+        fpad[:] = state.initial_distributions(
+            dataclasses.replace(params, ny=ny + pad_r, nx=nx + pad_c),
+            f_np.dtype,
+        )
+        fpad[:, :ny, :nx] = f_np
+        mask_pad = np.ones((ny + pad_r, nx + pad_c), bool)
+        mask_pad[:ny, :nx] = np.asarray(obstacle_mask)
+        f, padded_mask = fpad, mask_pad
+    else:
+        padded_mask = obstacle_mask
 
     fs = mesh_lib.grid_sharding(mesh)
     ms = mesh_lib.mask_sharding(mesh)
     f = jax.device_put(jnp.asarray(f), fs)
-    obstacle_mask = jax.device_put(jnp.asarray(obstacle_mask), ms)
+    padded_mask = jax.device_put(jnp.asarray(padded_mask), ms)
 
     f = d2q9.first_accelerate(
-        f, obstacle_mask, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
+        f, padded_mask, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
     )
-    amask = d2q9.accel_row_mask(params.ny, params.nx, accel_row, dtype=f.dtype)
+    amask = d2q9.accel_row_mask(ny + pad_r, nx + pad_c, accel_row, dtype=f.dtype)
     amask = jax.device_put(amask, NamedSharding(mesh, P(ROW, None)))
 
     if strategy == "none" and not allow_invalid:
@@ -220,19 +356,21 @@ def simulate_sharded(
         )
     if strategy in EXCHANGES:
         f_final, tot_u = run_sharded(
-            f, obstacle_mask, amask,
+            f, padded_mask, amask,
             mesh=mesh, num_steps=params.max_iters,
             omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2, unroll=unroll,
-            exchange=strategy,
+            exchange=strategy, pad_rows=pad_r, pad_cols=pad_c,
         )
     elif strategy == "implicit":
         f_final, tot_u = d2q9.run(
-            f, obstacle_mask, amask,
+            f, padded_mask, amask,
             num_steps=params.max_iters,
             omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2, unroll=unroll,
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    if pad_r or pad_c:
+        f_final = f_final[:, :ny, :nx]
     num_free = jnp.asarray((~jnp.asarray(obstacle_mask)).sum(), dtype=f.dtype)
     return f_final, tot_u / num_free

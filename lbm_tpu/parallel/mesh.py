@@ -28,9 +28,13 @@ def best_factorisation(
     perimeter/area — the reference's row/col-imbalance heuristic
     (StructuredGridUtils.hpp:489-520) recast for halo traffic.
 
-    require_even=True (the shard_map case) only admits factorisations that
-    divide the grid exactly; the planner (partition.py) can relax this, like
-    the reference's remainder-row strategies (StructuredGridUtils.hpp:309-412).
+    require_even=True only admits factorisations that divide the grid
+    exactly. require_even=False admits any grid the pad-and-mask runtime can
+    execute (the analogue of the reference's remainder-row strategies,
+    StructuredGridUtils.hpp:309-412): shards take ceil-divided blocks, the
+    grid is padded with masked cells, and all padding must land in the LAST
+    shard of each axis — i.e. (r-1)*ceil(ny/r) < ny. Prefers exact splits
+    (zero waste), then lower halo traffic.
     """
     best = (n_devices, 1)
     best_cost = math.inf
@@ -42,16 +46,37 @@ def best_factorisation(
             continue
         if require_even and (ny % r or nx % c):
             continue
-        h, w = ny / r, nx / c
-        cost = 1 / h + 1 / w  # halo cells per interior cell
+        h = -(-ny // r)  # ceil
+        w = -(-nx // c)
+        if (r - 1) * h >= ny or (c - 1) * w >= nx:
+            continue  # padding would spill beyond the last shard
+        waste = (r * h * c * w - ny * nx) / (ny * nx)
+        cost = 1 / h + 1 / w + waste  # halo cells per cell + padded fraction
         if cost < best_cost:
             best_cost = cost
             best = (r, c)
     if best_cost is math.inf:
         raise ValueError(
             f"cannot divide {ny}x{nx} grid evenly over {n_devices} devices"
+            if require_even else
+            f"no runnable factorisation of {n_devices} devices for a "
+            f"{ny}x{nx} grid (shards would be pure padding)"
         )
     return best
+
+
+def shard_padding(ny: int, nx: int, n_rows: int, n_cols: int) -> tuple[int, int]:
+    """(pad_rows, pad_cols) to make a ny x nx grid divide an
+    n_rows x n_cols mesh with ceil-sized shards. Padding always lands in the
+    last shard of each axis; raises if a shard would be pure padding."""
+    h = -(-ny // n_rows)
+    w = -(-nx // n_cols)
+    if (n_rows - 1) * h >= ny or (n_cols - 1) * w >= nx:
+        raise ValueError(
+            f"{ny}x{nx} on a {n_rows}x{n_cols} mesh: a whole shard would be "
+            f"padding; use fewer devices along that axis"
+        )
+    return n_rows * h - ny, n_cols * w - nx
 
 
 def make_mesh(n_devices: int | None = None, ny: int = 1024, nx: int = 1024,
@@ -60,7 +85,12 @@ def make_mesh(n_devices: int | None = None, ny: int = 1024, nx: int = 1024,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    r, c = best_factorisation(n_devices, ny, nx)
+    try:
+        r, c = best_factorisation(n_devices, ny, nx)
+    except ValueError:
+        # no exact split: the runtime runs uneven grids via pad-and-mask
+        # (halo.simulate_sharded, strategy='ppermute')
+        r, c = best_factorisation(n_devices, ny, nx, require_even=False)
     dev_grid = np.array(devices[:n_devices]).reshape(r, c)
     return Mesh(dev_grid, (ROW_AXIS, COL_AXIS))
 

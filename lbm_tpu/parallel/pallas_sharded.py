@@ -52,29 +52,55 @@ def make_mesh2d(rows: int, cols: int, devices=None) -> Mesh:
     return Mesh(np.array(devices[: rows * cols]).reshape(rows, cols), (ROW, COL))
 
 
+def plan_rows(ny: int, n_row_shards: int) -> tuple[int, int]:
+    """(shard_h, pad_rows) for the ghost-band path: shard heights must be a
+    multiple of 8 (the Pallas kernel's sublane block), so uneven grids pad
+    the LAST row-shard (the reference's remainder-row strategy,
+    StructuredGridUtils.hpp:309-412, recast as pad-and-mask)."""
+    h = -(-ny // n_row_shards)
+    h = -(-h // 8) * 8
+    # the last shard's VALID rows must cover a full ghost band: its top
+    # GHOST valid rows are what the wrap-around south ghost is sliced from
+    if ny - (n_row_shards - 1) * h < GHOST:
+        raise ValueError(
+            f"{ny} rows on {n_row_shards} row-shards: the last shard would "
+            f"hold < {GHOST} valid rows (8-aligned shard height {h}); use "
+            f"fewer row-shards or halo.simulate_sharded"
+        )
+    return h, n_row_shards * h - ny
+
+
 def extended_mask(obstacle_mask: np.ndarray, n_row_shards: int,
                   n_col_shards: int = 1) -> np.ndarray:
     """Per-shard ghost-extended obstacle masks, stacked to
-    (r*(h+16), c*(w+256)) so P('ry','rx') hands each shard its slab."""
+    (r*(h+16), c*(w+256)) so P('ry','rx') hands each shard its slab.
+
+    Rows may be uneven: each extended local row maps to the REAL-periodic
+    global row ((s*h + j - GHOST) mod ny); padding rows beyond the last
+    shard's valid+ghost zone are marked as obstacles (excluded from Sum|u|,
+    dynamics bounded by rebound)."""
     ny, nx = obstacle_mask.shape
-    if ny % n_row_shards or nx % n_col_shards:
+    if nx % n_col_shards:
         raise ValueError(
-            f"{ny}x{nx} not divisible by {n_row_shards}x{n_col_shards} shards"
+            f"{nx} columns not divisible by {n_col_shards} column-shards "
+            "(uneven support is rows-only on the ghost-band path; use a "
+            "row mesh or halo.simulate_sharded for uneven columns)"
         )
-    h = ny // n_row_shards
+    h, pad = plan_rows(ny, n_row_shards)
     w = nx // n_col_shards
-    if h < GHOST:
-        raise ValueError(f"shard height {h} < ghost band {GHOST}")
     if n_col_shards > 1 and w < GHOST_COLS:
         raise ValueError(f"shard width {w} < ghost band {GHOST_COLS}")
     gc = GHOST_COLS if n_col_shards > 1 else 0
     row_blocks = []
     for s in range(n_row_shards):
-        rows = np.arange(s * h - GHOST, s * h + h + GHOST) % ny
+        vh = h - pad if s == n_row_shards - 1 else h
+        rows = (s * h - GHOST + np.arange(h + 2 * GHOST)) % ny
         col_blocks = []
         for t in range(n_col_shards):
             cols = np.arange(t * w - gc, t * w + w + gc) % nx
-            col_blocks.append(obstacle_mask[np.ix_(rows, cols)])
+            blk = obstacle_mask[np.ix_(rows, cols)].copy()
+            blk[2 * GHOST + vh:, :] = True  # dead padding rows
+            col_blocks.append(blk)
         row_blocks.append(np.concatenate(col_blocks, axis=1))
     return np.concatenate(row_blocks, axis=0)
 
@@ -97,7 +123,7 @@ def make_chunk_fn(
     if not 1 <= k_steps <= GHOST:
         raise ValueError(f"k_steps must be in 1..{GHOST}")
     n_rows, n_cols = mesh.devices.shape
-    h = ny // n_rows
+    h, pad_rows = plan_rows(ny, n_rows)
     gc = GHOST_COLS if n_cols > 1 else 0
 
     def local_chunk(f_loc, mask_ext_f):
@@ -110,10 +136,23 @@ def make_chunk_fn(
         else:
             ext_c = f_loc
         # wave 2 (rows): 8-row edge blocks of the column-extended array,
-        # so ghost corners ride along
-        ghost_s = halo_lib.ring_shift(ext_c[:, -GHOST:, :], ROW, +1)
+        # so ghost corners ride along. With uneven rows, the torus wraps at
+        # the last shard's valid edge: it sends its top valid GHOST rows and
+        # writes the incoming north ghost there (a no-op position for
+        # unpadded shards).
+        is_last = jax.lax.axis_index(ROW) == n_rows - 1
+        vh = h - jnp.where(is_last, pad_rows, 0)
+        if pad_rows:
+            w_ext = w + 2 * gc
+            top_band = jax.lax.dynamic_slice(
+                ext_c, (0, vh - GHOST, 0), (9, GHOST, w_ext))
+        else:
+            top_band = ext_c[:, -GHOST:, :]
+        ghost_s = halo_lib.ring_shift(top_band, ROW, +1)
         ghost_n = halo_lib.ring_shift(ext_c[:, :GHOST, :], ROW, -1)
         ext = jnp.concatenate([ghost_s, ext_c, ghost_n], axis=1)
+        if pad_rows:
+            ext = jax.lax.dynamic_update_slice(ext, ghost_n, (0, vh + GHOST, 0))
 
         shard_row0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
         ext_new, tots = d2q9_pallas.stepk(
@@ -121,7 +160,7 @@ def make_chunk_fn(
             accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
             band=band, interpret=interpret,
             row_offset=shard_row0 - GHOST,
-            valid_rows=(GHOST, GHOST + h),
+            valid_rows=(GHOST, GHOST + vh),
             valid_cols=(gc, gc + w),
             global_ny=ny,
         )
@@ -190,11 +229,30 @@ def simulate(
     n_rows, n_cols = mesh.devices.shape
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
+    ny, nx = params.ny, params.nx
 
     obstacle_np = np.asarray(obstacle_mask)
-    f = jax.device_put(jnp.asarray(f), NamedSharding(mesh, P(None, ROW, COL)))
+    h, pad = plan_rows(ny, n_rows)
+    f_np = np.asarray(f)
+    mask_padded = obstacle_np
+    if pad:
+        # pad-and-mask: equilibrium-filled dead rows in the last shard,
+        # masked as obstacles (see halo.simulate_sharded)
+        import dataclasses
+
+        from ..core import state
+
+        fpad = np.empty((9, ny + pad, nx), f_np.dtype)
+        fpad[:] = state.initial_distributions(
+            dataclasses.replace(params, ny=ny + pad), f_np.dtype)
+        fpad[:, :ny, :] = f_np
+        f_np = fpad
+        mask_padded = np.ones((ny + pad, nx), bool)
+        mask_padded[:ny, :] = obstacle_np
+
+    f = jax.device_put(jnp.asarray(f_np), NamedSharding(mesh, P(None, ROW, COL)))
     obstacle_sh = jax.device_put(
-        jnp.asarray(obstacle_np), NamedSharding(mesh, P(ROW, COL))
+        jnp.asarray(mask_padded), NamedSharding(mesh, P(ROW, COL))
     )
     f = d2q9.first_accelerate(
         f, obstacle_sh, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
@@ -206,7 +264,9 @@ def simulate(
     f_final, tot_u = run(
         f, mask_ext_f, mesh=mesh, num_steps=params.max_iters,
         k_steps=k_steps, omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2,
-        accel_row=accel_row, ny=params.ny, band=band,
+        accel_row=accel_row, ny=ny, band=band,
     )
-    num_free = params.ny * params.nx - int(obstacle_np.sum())
+    if pad:
+        f_final = f_final[:, :ny, :]
+    num_free = ny * nx - int(obstacle_np.sum())
     return f_final, tot_u / jnp.asarray(num_free, f.dtype)

@@ -40,23 +40,52 @@ def test_lbm_cli(tmp_path):
 
 @needs_ref
 def test_lbm_cli_compile_only_and_runner(tmp_path):
+    """One exported executable serves ANY obstacle file: compiled WITHOUT
+    --obstacles (reference: 'no obstacles needed to build!',
+    main/LbmPoplibs.cpp:252), then run against two different masks, each
+    matching a direct simulation of the same mask."""
     exe = tmp_path / "step.jaxexe"
     res = run_cli([
         "lbm_tpu.cli.lbm", "--params", f"{REF}/params/input_128x128.params",
-        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
         "--device", "cpu", "--compile-only", "--export", str(exe),
     ])
     assert res.returncode == 0, res.stderr
     assert exe.exists() and exe.stat().st_size > 0
 
-    res = run_cli([
-        "lbm_tpu.cli.lbm_runner", "--exe", str(exe),
-        "--params", f"{REF}/params/input_128x128.params",
-        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
-        "--device", "cpu", "--num-steps", "5", "--out-dir", str(tmp_path),
-    ])
-    assert res.returncode == 0, res.stderr
-    assert "==done==" in res.stdout
+    # second obstacle file: the reference one plus an extra block
+    alt = tmp_path / "obstacles_alt.dat"
+    extra = "".join(f"{x} {y} 1\n" for x in range(60, 70) for y in range(60, 70))
+    alt.write_text(Path(f"{REF}/params/obstacles_128x128.dat").read_text() + extra)
+
+    avs = {}
+    for name, obst in (("ref", f"{REF}/params/obstacles_128x128.dat"),
+                       ("alt", str(alt))):
+        out = tmp_path / name
+        res = run_cli([
+            "lbm_tpu.cli.lbm_runner", "--exe", str(exe),
+            "--params", f"{REF}/params/input_128x128.params",
+            "--obstacles", obst,
+            "--device", "cpu", "--num-steps", "5", "--out-dir", str(out),
+        ])
+        assert res.returncode == 0, res.stderr
+        assert "==done==" in res.stdout
+        direct = run_cli([
+            "lbm_tpu.cli.lbm", "--params", f"{REF}/params/input_128x128.params",
+            "--obstacles", obst,
+            "--device", "cpu", "--num-steps", "5",
+            "--out-dir", str(out / "direct"),
+        ])
+        assert direct.returncode == 0, direct.stderr
+        import numpy as np
+
+        got = np.loadtxt(out / "av_vels.dat", usecols=1, delimiter="\t")
+        want = np.loadtxt(out / "direct" / "av_vels.dat", usecols=1,
+                          delimiter="\t")
+        # the exported exe lowers the step behind a call boundary, so the
+        # reduction order can differ from the inline jit by ~1 ulp
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        avs[name] = got
+    assert not np.array_equal(avs["ref"], avs["alt"])  # mask is a runtime input
 
 
 @needs_ref
@@ -68,6 +97,30 @@ def test_blur_cli(tmp_path):
     ])
     assert res.returncode == 0, res.stderr
     assert out.exists()
+
+
+@needs_ref
+def test_blur_cli_sharded(tmp_path):
+    out = tmp_path / "out.png"
+    res = run_cli([
+        "lbm_tpu.cli.blur", "-i", f"{REF}/images/test-small.png",
+        "-o", str(out), "-n", "3", "--engine", "conv-sharded",
+        "--num-devices", "8", "--device", "cpu",
+    ])
+    assert res.returncode == 0, res.stderr
+    assert out.exists() and out.stat().st_size > 0
+
+
+@needs_ref
+def test_blur_cli_compile_only(tmp_path):
+    exe = tmp_path / "stencil.jaxexe"
+    res = run_cli([
+        "lbm_tpu.cli.blur", "-i", f"{REF}/images/test-small.png",
+        "--device", "cpu", "--compile-only", "--export", str(exe),
+    ])
+    assert res.returncode == 0, res.stderr
+    assert "flops/pass" in res.stdout
+    assert exe.exists() and exe.stat().st_size > 0
 
 
 def test_viz_partition_cli(tmp_path):

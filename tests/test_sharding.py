@@ -82,6 +82,33 @@ def test_implicit_strategy_matches_ppermute_over_steps(reference_dir):
     np.testing.assert_allclose(np.asarray(av_imp), np.asarray(av_single), rtol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (8, 1)])
+def test_naive_strategy_matches_global(shape):
+    """The deliberately-chatty per-direction exchange (the reference's
+    explicitOneTensor analogue) must still be physically correct."""
+    r, c = shape
+    ny, nx = 16 * r, 16 * c
+    f, mask = make_case(ny, nx)
+    amask = d2q9.accel_row_mask(ny, nx, ny - 2)
+    w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
+
+    f_ref, tot_ref = d2q9.step(
+        jnp.asarray(f), jnp.asarray(mask), amask, omega=1.85, accel_w1=w1, accel_w2=w2
+    )
+    dev_grid = np.array(jax.devices()[: r * c]).reshape(r, c)
+    mesh = jax.sharding.Mesh(dev_grid, (mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS))
+    step_fn = halo.make_sharded_step(mesh, omega=1.85, accel_w1=w1,
+                                     accel_w2=w2, exchange="naive")
+    f_sh = jax.device_put(jnp.asarray(f), mesh_lib.grid_sharding(mesh))
+    mask_sh = jax.device_put(jnp.asarray(mask), mesh_lib.mask_sharding(mesh))
+    amask_sh = jax.device_put(
+        amask, jax.sharding.NamedSharding(mesh, P(mesh_lib.ROW_AXIS, None)))
+    f_dist, tot_dist = jax.jit(step_fn)(f_sh, mask_sh, amask_sh)
+    np.testing.assert_allclose(np.asarray(f_dist), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(tot_dist), float(tot_ref), rtol=1e-4)
+
+
 def test_corner_speed_crosses_shard_boundary_diagonally():
     """A NE-moving particle at a 2x2 shard corner must arrive at the
     diagonally-adjacent shard after one step (two-hop corner exchange)."""
