@@ -54,19 +54,20 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     max_dev = len(jax.devices())
     counts = [n for n in (1, 2, 4, 8, 16) if n <= max_dev]
+    platform = jax.devices()[0].platform
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
-        out.write("mode,devices,image,iters,seconds,mpixels_per_s\n")
+        out.write("mode,platform,devices,image,iters,seconds,mpixels_per_s\n")
         for n in counts:  # strong: fixed 1022x2046
             dt, mps = run_case(1022, 2046, n, iters)
-            row = f"strong,{n},1022x2046,{iters},{dt:.4f},{mps:.1f}"
+            row = f"strong,{platform},{n},1022x2046,{iters},{dt:.4f},{mps:.1f}"
             print(row)
             out.write(row + "\n")
         for n in counts:  # weak: ~500x1000 per device (reference's choice)
             r, c = mesh_lib.best_factorisation(n, 512 * n, 1024 * n)
             h, w = 510 * r, 1022 * c
             dt, mps = run_case(h, w, n, iters)
-            row = f"weak,{n},{h}x{w},{iters},{dt:.4f},{mps:.1f}"
+            row = f"weak,{platform},{n},{h}x{w},{iters},{dt:.4f},{mps:.1f}"
             print(row)
             out.write(row + "\n")
     print(f"wrote {out_path}")

@@ -3,27 +3,40 @@
 
 Reference analogue: experiments/gaussian-blur-scaling/exchange-vs-compute.csv
 (on 16 IPUs global exchange ~3-4k cycles vs compute 4.4-13k — comparable!).
-Method here: time the ppermute strategy against an identical step whose
-ghost ring is filled locally with zero communication ('none' exchange —
-physically wrong, identical FLOPs/traffic otherwise); the difference is the
-exchange cost.
 
-Usage: DEVICE=cpu python experiments/exchange-vs-compute/run.py [iters]
+Two honest sections (the round-1 version subtracted wall-clocks on the CPU
+virtual mesh and got negative deltas — below host noise, answering nothing):
+
+1. measured (platform column = cpu): ppermute strategy vs the 'none'
+   zero-exchange baseline on the 8-virtual-device CPU mesh, min-of-N.
+   On this host the exchange is memcpy between threads; rows whose delta is
+   within noise are explicitly flagged below_noise=1 and must not be read as
+   TPU predictions.
+
+2. model (platform = tpu-v5e-model): the real-hardware answer this
+   environment cannot measure (one chip, no ICI). Per step and per shard of
+   a ry x rx mesh, the 2-wave exchange moves
+       bytes = 9 planes * 2 directions * (w_shard + h_shard+2) * 4B
+   over ICI, while compute moves ~19 * h*w * 4B over HBM (the fused kernel's
+   2x9 planes + mask). With v5e HBM ~820 GB/s and ICI ~100 GB/s/link
+   (public v5e figure: 1,600 Gbps aggregate = ~200 GB/s, 2 links per axis),
+   exchange_pct = ici_time / (ici_time + hbm_time) assuming no overlap (an
+   upper bound: XLA overlaps collectives with compute).
+
+Usage: python experiments/exchange-vs-compute/run.py [iters]
 """
 
 import os
 import sys
 import time
 
-if os.environ.get("DEVICE", "cpu") == "cpu":
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax
 
-if os.environ.get("DEVICE", "cpu") == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -33,8 +46,11 @@ from lbm_tpu.core import state
 from lbm_tpu.core.params import Params
 from lbm_tpu.parallel import halo, mesh as mesh_lib
 
+HBM_GBPS = 820.0   # v5e HBM bandwidth (docs/TUNING.md roofline)
+ICI_GBPS = 100.0   # per-link per-direction working figure (see docstring)
 
-def time_strategy(p, f0, mask, mesh, strategy, reps=3):
+
+def time_strategy(p, f0, mask, mesh, strategy, reps=5):
     """min-of-N timing: single runs on a shared host are noise-dominated."""
     _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy,
                                   allow_invalid=True)
@@ -43,10 +59,21 @@ def time_strategy(p, f0, mask, mesh, strategy, reps=3):
     for _ in range(reps):
         t0 = time.perf_counter()
         _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy,
-                                  allow_invalid=True)
+                                      allow_invalid=True)
         np.asarray(av)
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def model_row(ny, nx, r, c):
+    h, w = ny // r, nx // c
+    # wave 1: 2 rows of 9 planes x w cols; wave 2: 2 cols x (h+2) rows
+    ici_bytes = 9 * 4 * (2 * w + (2 * (h + 2) if c > 1 else 0))
+    hbm_bytes = 19 * h * w * 4
+    t_ici = ici_bytes / (ICI_GBPS * 1e9)
+    t_hbm = hbm_bytes / (HBM_GBPS * 1e9)
+    pct = 100 * t_ici / (t_ici + t_hbm)
+    return ici_bytes, hbm_bytes, t_ici, t_hbm, pct
 
 
 def main():
@@ -54,7 +81,8 @@ def main():
     n_dev = len(jax.devices())
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
-        out.write("grid,devices,iters,total_s,compute_only_s,exchange_s,exchange_pct\n")
+        out.write("section,platform,grid,mesh,iters,total_s,compute_only_s,"
+                  "exchange_s,exchange_pct,below_noise\n")
         for ny in (256, 512, 1024):
             p = Params(nx=ny, ny=ny, max_iters=iters, reynolds_dim=10,
                        density=0.1, accel=0.005, omega=1.85)
@@ -62,13 +90,22 @@ def main():
             mask = np.zeros((ny, ny), bool)
             mask[0, :] = True
             mesh = mesh_lib.make_mesh(n_dev, ny, ny)
+            r, c = mesh.devices.shape
             total = time_strategy(p, f0, mask, mesh, "ppermute")
             compute = time_strategy(p, f0, mask, mesh, "none")
-            exch = total - compute  # signed: negative = below noise floor
-            pct = 100 * exch / total
-            flag = "" if exch >= 0 else " (below noise floor)"
-            row = (f"{ny}x{ny},{n_dev},{iters},{total:.4f},{compute:.4f},"
-                   f"{exch:.4f},{pct:.1f}{flag}")
+            exch = total - compute
+            noise = 1 if exch < 0.03 * total else 0
+            row = (f"measured,cpu,{ny}x{ny},{r}x{c},{iters},{total:.4f},"
+                   f"{compute:.4f},{exch:.4f},{100 * exch / total:.1f},{noise}")
+            print(row)
+            out.write(row + "\n")
+
+        # analytic model for the hardware this environment cannot measure
+        for ny, (r, c) in ((1024, (2, 4)), (4096, (2, 4)), (4096, (4, 4)),
+                           (8192, (4, 4))):
+            ici_b, hbm_b, t_ici, t_hbm, pct = model_row(ny, ny, r, c)
+            row = (f"model,tpu-v5e-model,{ny}x{ny},{r}x{c},1,"
+                   f"{t_ici + t_hbm:.2e},{t_hbm:.2e},{t_ici:.2e},{pct:.1f},0")
             print(row)
             out.write(row + "\n")
     print(f"wrote {out_path}")

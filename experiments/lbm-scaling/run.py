@@ -51,16 +51,18 @@ def main():
     max_dev = len(jax.devices())
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= max_dev]
 
+    platform = jax.devices()[0].platform
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
-        out.write("mode,devices,grid,iters,seconds,mlups,speedup_vs_1\n")
+        out.write("mode,platform,devices,grid,iters,seconds,mlups,speedup_vs_1\n")
 
         # strong scaling: fixed 1024x1024
         base = None
         for n in counts:
             dt, mlups = run_case(1024, 1024, n, iters)
             base = base or dt
-            row = f"strong,{n},1024x1024,{iters},{dt:.4f},{mlups:.1f},{base / dt:.2f}"
+            row = (f"strong,{platform},{n},1024x1024,{iters},{dt:.4f},"
+                   f"{mlups:.1f},{base / dt:.2f}")
             print(row)
             out.write(row + "\n")
 
@@ -71,7 +73,8 @@ def main():
             ny, nx = 512 * r, 512 * c
             dt, mlups = run_case(ny, nx, n, iters)
             base = base or dt
-            row = f"weak,{n},{ny}x{nx},{iters},{dt:.4f},{mlups:.1f},{base / dt:.2f}"
+            row = (f"weak,{platform},{n},{ny}x{nx},{iters},{dt:.4f},"
+                   f"{mlups:.1f},{base / dt:.2f}")
             print(row)
             out.write(row + "\n")
     print(f"wrote {out_path}")

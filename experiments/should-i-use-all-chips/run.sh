@@ -7,4 +7,4 @@
 set -e
 cd "$(dirname "$0")/../.."
 DEVICE=${DEVICE:-cpu} python experiments/lbm-scaling/run.py "${ITERS:-100}"
-grep '^strong' experiments/lbm-scaling/results.csv | tee "$(dirname "$0")/results.csv"
+{ head -1 experiments/lbm-scaling/results.csv; grep '^strong' experiments/lbm-scaling/results.csv; } | tee "$(dirname "$0")/results.csv"

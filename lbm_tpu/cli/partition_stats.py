@@ -36,7 +36,8 @@ def main(argv=None) -> int:
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     out.write("ny,nx,num_devices,mesh_rows,mesh_cols,targets,"
-              "load_balance,max_speedup,halo_cells_per_interior\n")
+              "load_balance,max_speedup,halo_cells_per_interior,"
+              "wasted_targets,wasted_lane_cells,lane_utilisation\n")
     for _ in range(args.samples):
         ny = int(rng.integers(args.min_size, args.max_size))
         nx = int(rng.integers(args.min_size, args.max_size))
@@ -50,7 +51,8 @@ def main(argv=None) -> int:
             halo_ratio = (1.0 / (ny / r) + 1.0 / (nx / c))
             out.write(f"{ny},{nx},{n},{r},{c},{st.num_targets},"
                       f"{st.load_balance:.4f},{st.max_speedup:.3f},"
-                      f"{halo_ratio:.6f}\n")
+                      f"{halo_ratio:.6f},{st.wasted_targets},"
+                      f"{st.wasted_lane_cells},{st.lane_utilisation:.4f}\n")
     if out is not sys.stdout:
         out.close()
     return 0

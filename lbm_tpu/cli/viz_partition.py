@@ -65,6 +65,10 @@ def main(argv=None) -> int:
           f"mean {st.mean_cells:.1f}")
     print(f"load balance:  {100 * st.load_balance:.1f}%")
     print(f"max speedup:   {st.max_speedup:.2f}x over {st.num_targets} targets")
+    # wasted-hardware metrics (reference: VisualiseTileMapping.cpp:174-199)
+    print(f"wasted targets: {st.wasted_targets} (assigned zero cells)")
+    print(f"VPU lane util: {100 * st.lane_utilisation:.1f}% "
+          f"({st.wasted_lane_cells} padding cells to fill 8x128 tiles)")
 
     from ..utils import image as img_lib
 

@@ -115,7 +115,12 @@ def serialize_to_json(partitioning: GridPartitioning, path: str | Path | None = 
 
 @dataclasses.dataclass
 class PartitionStats:
-    """Load-balance metrics (reference: VisualiseTileMapping.cpp:174-199)."""
+    """Load-balance + wasted-hardware metrics (reference:
+    VisualiseTileMapping.cpp:174-199, which prints load balance, wasted
+    tiles, wasted workers and max speedup). The TPU recast of "wasted
+    hardware": idle targets (devices/bands assigned no cells) and VPU-tile
+    padding (cells short of full 8x128 f32 register tiles, the lane-level
+    analogue of the reference's wasted workers)."""
 
     num_targets: int
     min_cells: int
@@ -124,15 +129,28 @@ class PartitionStats:
     load_balance: float  # mean/max: 1.0 = perfectly even
     total_cells: int
     max_speedup: float   # total/max: achievable parallel speedup
+    wasted_targets: int = 0       # targets holding zero cells
+    wasted_lane_cells: int = 0    # padding cells to fill 8x128 VPU tiles
+    lane_utilisation: float = 1.0  # total / (total + wasted_lane_cells)
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+
+VPU_SUBLANES = 8   # f32 register tile height
+VPU_LANES = 128    # register tile width
 
 
 def stats(partitioning: GridPartitioning) -> PartitionStats:
     areas = [s.area for s in partitioning.values()]
     total = sum(areas)
     mx = max(areas)
+    nonzero = [a for a in areas if a > 0]
+    waste = sum(
+        (-(-s.height // VPU_SUBLANES) * VPU_SUBLANES)
+        * (-(-s.width // VPU_LANES) * VPU_LANES) - s.area
+        for s in partitioning.values() if s.area > 0
+    )
     return PartitionStats(
         num_targets=len(areas),
         min_cells=min(areas),
@@ -141,4 +159,7 @@ def stats(partitioning: GridPartitioning) -> PartitionStats:
         load_balance=(total / len(areas)) / mx,
         total_cells=total,
         max_speedup=total / mx,
+        wasted_targets=len(areas) - len(nonzero),
+        wasted_lane_cells=waste,
+        lane_utilisation=total / (total + waste) if total else 0.0,
     )

@@ -76,6 +76,21 @@ def test_full_run_av_vels_only(reference_dir, grid):
 
 
 @pytest.mark.slow
+def test_full_run_f32_error_floor(reference_dir):
+    """Full-length f32 run sits at the measured state-rounding floor
+    (experiments/f32-error-decomposition: 7.4e-4 over the 40k-step 128x128
+    golden run; the floor is state rounding, NOT reduction error — a f64
+    reduction moves it by <1e-6). Guards against precision regressions in
+    the production dtype."""
+    p, obs, golden_av = load_case(reference_dir, "128x128")
+    f0 = jnp.asarray(state.initial_distributions(p, np.float32))
+    _, av = d2q9.simulate(p, f0, jnp.asarray(obs.mask))
+    av = np.asarray(av, np.float64)
+    rel = np.abs(av - golden_av) / golden_av
+    assert rel.max() < 1.5e-3, f"f32 floor regressed: {rel.max():.3e}"
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("grid", ["128x128", "128x256"])
 def test_full_run_passes_checker(reference_dir, grid, tmp_path):
     """End-to-end: full-length f64 run, written .dat files pass verify/check.py
