@@ -23,7 +23,10 @@ def main(argv=None) -> int:
     parser.add_argument("--omega", type=float, default=1.85)
     parser.add_argument("--density", type=float, default=0.1)
     parser.add_argument("--accel", type=float, default=0.005)
-    parser.add_argument("--engine", default="jax", choices=["jax", "pallas"])
+    parser.add_argument("--engine", default="jax",
+                        choices=["jax", "pallas", "sharded"])
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="devices for --engine sharded (default: all)")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     parser.add_argument("--out-dir", default=".")
     args = parser.parse_args(argv)
@@ -42,7 +45,8 @@ def main(argv=None) -> int:
     from ..ops import d3q19
 
     kw = dict(num_steps=args.num_steps, omega=args.omega,
-              density=args.density, accel=args.accel, engine=args.engine)
+              density=args.density, accel=args.accel, engine=args.engine,
+              num_devices=args.num_devices)
     f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
     np.asarray(av)  # compile + warm
     t0 = time.perf_counter()

@@ -71,6 +71,7 @@ def collide_fields(
     omega: float,
     accel_w1: float,
     accel_w2: float,
+    shared_reciprocal: bool = False,
 ):
     """BGK collision + rebound + accelerated-row force on streamed planes.
 
@@ -81,14 +82,22 @@ def collide_fields(
     kernels sum only their band's interior rows).
 
     Expression grouping mirrors main/LastChance.cpp:213-262 for float32
-    fidelity with the golden data.
+    fidelity with the golden data. shared_reciprocal=True computes 1/rho
+    once and multiplies (one division instead of two) — ~1 ulp different
+    per step, same state-rounding error scale; measured in
+    experiments/arithmetic-variants.
     """
     s0, s1, s2, s3, s4, s5, s6, s7, s8 = s
     one_minus_omega = 1.0 - omega
 
     rho = s0 + s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8
-    u_x = (s1 + s5 + s8 - (s3 + s6 + s7)) / rho
-    u_y = (s2 + s5 + s6 - (s4 + s7 + s8)) / rho
+    if shared_reciprocal:
+        inv_rho = 1.0 / rho
+        u_x = (s1 + s5 + s8 - (s3 + s6 + s7)) * inv_rho
+        u_y = (s2 + s5 + s6 - (s4 + s7 + s8)) * inv_rho
+    else:
+        u_x = (s1 + s5 + s8 - (s3 + s6 + s7)) / rho
+        u_y = (s2 + s5 + s6 - (s4 + s7 + s8)) / rho
     u_sq = u_x * u_x + u_y * u_y
 
     c_sq = 1.0 - u_sq * 1.5

@@ -76,7 +76,8 @@ def choose_band(h: int, w: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
 
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             mnext_ref, out_ref, tot_ref, *, band: int, k_steps: int,
-            omega: float, accel_w1: float, accel_w2: float, accel_row: int):
+            omega: float, accel_w1: float, accel_w2: float, accel_row: int,
+            shared_reciprocal: bool = False):
     """K fused timesteps on one band. See module docstring for the scheme.
 
     scal_ref (SMEM int32 (1,6)) holds (row_offset, valid_lo, valid_hi,
@@ -160,6 +161,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
         state, u = d2q9.collide_fields(
             streamed(state, n_rows), mask_j, amask_j,
             omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
+            shared_reciprocal=shared_reciprocal,
         )
         # Sum|u| over this band's own valid B rows only (overlap rows belong
         # to the neighbouring bands; ghost rows duplicate other shards).
@@ -173,7 +175,8 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
-                accel_row, interpret, vmem_limit=None):
+                accel_row, interpret, vmem_limit=None,
+                shared_reciprocal=False):
     ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if ny % band or band % 8:
@@ -189,6 +192,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
     kernel = functools.partial(
         _kernel, band=band, k_steps=k_steps, omega=omega,
         accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
+        shared_reciprocal=shared_reciprocal,
     )
     return pl.pallas_call(
         kernel,
@@ -247,6 +251,7 @@ def stepk(
     valid_cols: tuple | None = None,
     global_ny: int | None = None,
     vmem_limit: int | None = None,
+    shared_reciprocal: bool = False,
 ):
     """K fused timesteps in one HBM pass. `mask_f` is the obstacle mask as
     {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,)).
@@ -269,6 +274,7 @@ def stepk(
         (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
         None if vmem_limit is None else int(vmem_limit),
+        bool(shared_reciprocal),
     )
     scal = jnp.stack(
         [jnp.asarray(row_offset, jnp.int32),
@@ -291,7 +297,8 @@ def step(f, mask_f, **kw):
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "k_steps", "omega", "accel_w1", "accel_w2",
-                     "accel_row", "band", "interpret", "vmem_limit"),
+                     "accel_row", "band", "interpret", "vmem_limit",
+                     "shared_reciprocal"),
 )
 def run(
     f: jax.Array,
@@ -306,6 +313,7 @@ def run(
     band: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
+    shared_reciprocal: bool = False,
 ):
     """`num_steps` fused timesteps under one lax.scan (device-resident loop),
     `k_steps` of them per HBM pass. num_steps must be a multiple of k_steps.
@@ -318,6 +326,7 @@ def run(
             carry, mask_f, k_steps=k_steps, omega=omega, accel_w1=accel_w1,
             accel_w2=accel_w2, accel_row=accel_row, band=band,
             interpret=interpret, vmem_limit=vmem_limit,
+            shared_reciprocal=shared_reciprocal,
         )
         return f_new, tots
 

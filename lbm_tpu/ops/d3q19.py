@@ -164,17 +164,41 @@ def simulate(
     dtype=np.float32,
     engine: str = "jax",
     k_steps: int = 2,
+    num_devices: int | None = None,
 ):
     """Lid-driven-style 3-D run: accelerated plane at z = nz-2, walls at
     z = 0 and z = nz-1 (the 3-D analogue of the shipped 2-D configs).
-    engine='pallas' uses the fused K-step kernel (d3q19_pallas)."""
+    engine='pallas' uses the fused K-step kernel (d3q19_pallas);
+    engine='sharded' runs the jax step on a (z, y)-sharded mesh with
+    XLA-implicit halo collectives (the 3-D multi-chip path — the winning
+    "implicit" strategy of the 2-D halo study applied to z/y planes)."""
     f = jnp.asarray(initial_distributions(nz, ny, nx, density, dtype))
     if obstacle_mask is None:
         obstacle_mask = np.zeros((nz, ny, nx), bool)
         obstacle_mask[0] = True
         obstacle_mask[-1] = True
     obstacle_mask = jnp.asarray(obstacle_mask)
-    if engine == "pallas":
+    if engine == "sharded":
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh as mesh_lib
+
+        n = num_devices or len(jax.devices())
+        mesh = mesh_lib.make_mesh(n, nz, ny)  # shard z and y; x stays local
+        fs = NamedSharding(mesh, P(None, mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS, None))
+        ms = NamedSharding(mesh, P(mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS, None))
+        f = jax.device_put(f, fs)
+        obstacle_mask = jax.device_put(obstacle_mask, ms)
+        amask = jax.device_put(
+            accel_plane_mask(nz, ny, nx, nz - 2, dtype=f.dtype),
+            NamedSharding(mesh, P(mesh_lib.ROW_AXIS, None, None)),
+        )
+        f_final, tot = run(
+            f, obstacle_mask, amask,
+            num_steps=num_steps, omega=omega, density=density, accel=accel,
+        )
+    elif engine == "pallas":
         from . import d3q19_pallas
 
         if num_steps % k_steps or nz % k_steps:

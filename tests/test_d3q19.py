@@ -78,3 +78,20 @@ def test_simulate_develops_flow():
     # step 1 measures u before the first force application -> av[0] == 0
     assert av[-1] > av[5] > 0
     assert np.all(np.isfinite(np.asarray(f_final)))
+
+
+def test_sharded_engine_matches_jax():
+    """The (z,y)-sharded implicit 3-D engine reproduces the single-device
+    run (the 3-D multi-chip path; 8-virtual-device CPU mesh)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    f_ref, av_ref = d3q19.simulate(16, 16, 32, num_steps=20)
+    f_sh, av_sh = d3q19.simulate(16, 16, 32, num_steps=20, engine="sharded",
+                                 num_devices=8)
+    np.testing.assert_allclose(np.asarray(av_sh), np.asarray(av_ref),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               rtol=2e-5, atol=1e-7)
