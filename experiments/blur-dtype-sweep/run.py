@@ -37,7 +37,8 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
-        out.write("image,engine,dtype,iters,seconds,us,mpixels_per_s\n")
+        platform = jax.devices()[0].platform
+        out.write("image,platform,engine,dtype,iters,seconds,us,mpixels_per_s\n")
         for name, path in IMAGES.items():
             if not os.path.exists(path):
                 continue
@@ -56,7 +57,7 @@ def main():
                                                  engine=engine))
                     dt = time.perf_counter() - t0
                     mps = 2 * iters * h * w / dt / 1e6
-                    row = (f"{name},{engine},{dtype_name},{iters},"
+                    row = (f"{name},{platform},{engine},{dtype_name},{iters},"
                            f"{dt:.5f},{dt * 1e6:.0f},{mps:.1f}")
                     print(row)
                     out.write(row + "\n")

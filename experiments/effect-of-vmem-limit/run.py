@@ -33,7 +33,8 @@ def main():
 
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
-        out.write("vmem_limit_mb,band,iters,seconds,mlups\n")
+        platform = jax.devices()[0].platform
+        out.write("vmem_limit_mb,platform,band,iters,seconds,mlups\n")
         for mb in (16, 48, 100):
             try:
                 run = lambda ns, mb=mb: d2q9_pallas.run(
@@ -46,10 +47,10 @@ def main():
                 dt = time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001 - too-small limits fail
                 print(f"{mb} MB: {type(e).__name__}")
-                out.write(f"{mb},128,{iters},compile_failed,0\n")
+                out.write(f"{mb},{platform},128,{iters},compile_failed,0\n")
                 continue
             mlups = iters * n * n / dt / 1e6
-            row = f"{mb},128,{iters},{dt:.4f},{mlups:.1f}"
+            row = f"{mb},{platform},128,{iters},{dt:.4f},{mlups:.1f}"
             print(row, flush=True)
             out.write(row + "\n")
     print(f"wrote {out_path}")

@@ -29,7 +29,8 @@ def main():
         sys.exit("iters must be >= 4")
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
-        out.write("grid,engine,iters,seconds,mlups\n")
+        platform = jax.devices()[0].platform
+        out.write("grid,platform,engine,iters,seconds,mlups\n")
         for n in (1024, 2048, 4096):
             f0 = jnp.full((9, n, n), 0.1 / 9, jnp.float32)
             mask_f = jnp.zeros((n, n), jnp.float32)
@@ -55,10 +56,10 @@ def main():
                     dt = time.perf_counter() - t0
                 except Exception as e:  # noqa: BLE001 - record OOM etc.
                     print(f"{n}x{n},{name}: {type(e).__name__}")
-                    out.write(f"{n}x{n},{name},{iters},failed,0\n")
+                    out.write(f"{n}x{n},{platform},{name},{iters},failed,0\n")
                     continue
                 mlups = iters * n * n / dt / 1e6
-                row = f"{n}x{n},{name},{iters},{dt:.4f},{mlups:.1f}"
+                row = f"{n}x{n},{platform},{name},{iters},{dt:.4f},{mlups:.1f}"
                 print(row, flush=True)
                 out.write(row + "\n")
     print(f"wrote {out_path}")

@@ -35,7 +35,8 @@ def main():
 
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
-        out.write("band,iters,seconds,mlups\n")
+        platform = jax.devices()[0].platform
+        out.write("band,platform,iters,seconds,mlups\n")
         for band in (8, 16, 32, 64, 128, 256):
             try:
                 run = lambda: np.asarray(d2q9_pallas.run(
@@ -47,10 +48,10 @@ def main():
                 dt = time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001 - record OOM etc. as a row
                 print(f"band={band}: {type(e).__name__}")
-                out.write(f"{band},{iters},failed,0\n")
+                out.write(f"{band},{platform},{iters},failed,0\n")
                 continue
             mlups = iters * p.nx * p.ny / dt / 1e6
-            row = f"{band},{iters},{dt:.4f},{mlups:.1f}"
+            row = f"{band},{platform},{iters},{dt:.4f},{mlups:.1f}"
             print(row)
             out.write(row + "\n")
     print(f"wrote {out_path}")
