@@ -40,6 +40,9 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             omega: float, density: float, accel: float, accel_plane: int):
     i = pl.program_id(0)
     global_nz = scal_ref[0, 0]
+    plane_off = scal_ref[0, 1]   # local plane -> global plane (ghost blocks)
+    valid_lo = scal_ref[0, 2]    # planes outside [valid_lo, valid_hi) are
+    valid_hi = scal_ref[0, 3]    # ghost duplicates: excluded from Sum|u|
     k = k_steps
     dt = jnp.float32 if f_ref.dtype == jnp.bfloat16 else f_ref.dtype
     ny = f_ref.shape[-2]
@@ -86,7 +89,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
         n_planes = bz + 2 * (k - j)
         lo = (k - 1) - (k - j)
         mask_j = mask_wide[lo : lo + n_planes] != 0
-        planes_j = (i * bz - (k - j)) + jax.lax.broadcasted_iota(
+        planes_j = (i * bz - (k - j) + plane_off) + jax.lax.broadcasted_iota(
             jnp.int32, (n_planes, 1, 1), 0
         )
         amask_j = (jnp.mod(planes_j, global_nz) == accel_plane).astype(dt)
@@ -96,14 +99,18 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
         )
         state = state_list  # stacked (19, n_planes, ny, nx)
         interior = u[k - j : k - j + bz]
-        tot_ref[0, j - 1] += jnp.sum(interior)
+        band_planes = i * bz + jax.lax.broadcasted_iota(
+            jnp.int32, (bz, 1, 1), 0)
+        valid = (band_planes >= valid_lo) & (band_planes < valid_hi)
+        tot_ref[0, j - 1] += jnp.sum(
+            jnp.where(valid, interior, jnp.zeros((), dt)))
 
     out_ref[:] = state.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
-                accel_plane, interpret):
+                accel_plane, interpret, vmem_limit=None):
     nz, ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if nz % bz:
@@ -121,7 +128,7 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             # K z-planes ENDING at plane i*bz - 1 (periodic)
@@ -148,7 +155,7 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
             jax.ShapeDtypeStruct((1, k_steps), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=default_vmem_limit(bz, ny, nx, k_steps),
+            vmem_limit_bytes=vmem_limit or default_vmem_limit(bz, ny, nx, k_steps),
         ),
         interpret=interpret,
     )
@@ -174,9 +181,18 @@ def stepk(
     accel_plane: int,
     bz: int | None = None,
     interpret: bool | None = None,
+    vmem_limit: int | None = None,
+    plane_offset: jax.Array | int = 0,
+    valid_planes: tuple | None = None,
+    global_nz: int | None = None,
 ):
     """K fused 3-D timesteps. mask_f: (nz, ny, nx) {0,1}. Returns
-    (f_after_K, tot_u per step (K,) f32)."""
+    (f_after_K, tot_u per step (K,) f32).
+
+    plane_offset / valid_planes / global_nz support ghost-extended z-shard
+    blocks (parallel/pallas_sharded_3d.py): local plane p is global plane
+    p + plane_offset (accel labels taken mod global_nz), and only local
+    planes in [valid_planes) contribute to the Sum|u|."""
     _, nz, ny, nx = f.shape
     if bz is None:
         bz = max(k_steps, 4)
@@ -192,8 +208,16 @@ def stepk(
         (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(k_steps),
         float(omega), float(density), float(accel), int(accel_plane),
         bool(interpret),
+        None if vmem_limit is None else int(vmem_limit),
     )
-    scal = jnp.array([[nz]], jnp.int32)
+    if valid_planes is None:
+        valid_planes = (0, nz)
+    scal = jnp.stack(
+        [jnp.asarray(global_nz if global_nz is not None else nz, jnp.int32),
+         jnp.asarray(plane_offset, jnp.int32),
+         jnp.asarray(valid_planes[0], jnp.int32),
+         jnp.asarray(valid_planes[1], jnp.int32)]
+    ).reshape(1, 4)
     f_new, tots = call(scal, f, f, f, mask_f, mask_f, mask_f)
     return f_new, tots[0]
 
@@ -201,7 +225,7 @@ def stepk(
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "k_steps", "omega", "density", "accel",
-                     "accel_plane", "bz", "interpret"),
+                     "accel_plane", "bz", "interpret", "vmem_limit"),
 )
 def run(
     f: jax.Array,
@@ -215,6 +239,7 @@ def run(
     accel_plane: int,
     bz: int | None = None,
     interpret: bool | None = None,
+    vmem_limit: int | None = None,
 ):
     if num_steps % k_steps:
         raise ValueError("num_steps must be a multiple of k_steps")
@@ -223,6 +248,7 @@ def run(
         f_new, tots = stepk(
             carry, mask_f, k_steps=k_steps, omega=omega, density=density,
             accel=accel, accel_plane=accel_plane, bz=bz, interpret=interpret,
+            vmem_limit=vmem_limit,
         )
         return f_new, tots
 

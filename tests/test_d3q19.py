@@ -95,3 +95,26 @@ def test_sharded_engine_matches_jax():
                                rtol=2e-5)
     np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
                                rtol=2e-5, atol=1e-7)
+
+
+def test_ghost_plane_pallas_sharded_matches_jax():
+    """The communication-avoiding 3-D path (ghost planes + local K-step
+    Pallas kernel) reproduces the single-device run."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    nz, ny, nx = 16, 16, 128
+    f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=8)
+    for n_shards, k in ((4, 2), (8, 2), (2, 4)):
+        mesh = pallas_sharded_3d.make_z_mesh(n_shards)
+        f_sh, av_sh = pallas_sharded_3d.simulate(
+            nz, ny, nx, num_steps=8, mesh=mesh, k_steps=k)
+        np.testing.assert_allclose(np.asarray(av_sh), np.asarray(av_ref),
+                                   rtol=2e-5, err_msg=f"shards={n_shards} k={k}")
+        np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                                   rtol=2e-5, atol=1e-7,
+                                   err_msg=f"shards={n_shards} k={k}")
