@@ -55,6 +55,16 @@ def main(argv=None) -> int:
                         help="dump the device partitioning as JSON")
     parser.add_argument("--debug-nans", action="store_true",
                         help="trap NaNs (FP-exception analogue)")
+    parser.add_argument("--checkpoint-every", type=int, default=None,
+                        metavar="N",
+                        help="write an atomic state checkpoint every N steps "
+                             "(engines jax|pallas; chunking is bit-identical "
+                             "to an uninterrupted run)")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="checkpoint file (default: "
+                             "<out-dir>/checkpoint.npz)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the checkpoint file if it exists")
     args = parser.parse_args(argv)
 
     import contextlib
@@ -125,7 +135,21 @@ def main(argv=None) -> int:
     trace_ctx = (profiling.trace(args.trace_dir) if args.trace_dir
                  else contextlib.nullcontext())
     with trace_ctx:
-        if args.engine in ("sharded", "sharded-pallas"):
+        if args.checkpoint_every or args.resume:
+            if args.engine not in ("jax", "pallas"):
+                parser.error("--checkpoint-every/--resume support "
+                             "--engine jax|pallas only")
+            from pathlib import Path as _Path
+
+            ck = args.checkpoint or str(_Path(args.out_dir) / "checkpoint.npz")
+            _Path(ck).parent.mkdir(parents=True, exist_ok=True)
+            result = lbm_model.run_simulation_with_checkpoints(
+                params, obstacles, dtype=dtype, engine=args.engine,
+                checkpoint_path=ck,
+                checkpoint_every=args.checkpoint_every or params.max_iters,
+                resume=args.resume, num_steps=args.num_steps,
+            )
+        elif args.engine in ("sharded", "sharded-pallas"):
             result = lbm_model.run_simulation_sharded(
                 params, obstacles, dtype=dtype, strategy=args.strategy,
                 engine=args.engine, num_devices=args.num_devices,

@@ -1,0 +1,73 @@
+"""Simulation-state checkpoint/resume.
+
+Beyond-reference capability (the reference has no checkpointing of in-flight
+state — SURVEY.md §5 "Checkpoint/resume: not for simulation state"); a
+production long-running solver needs it. A checkpoint is a single .npz
+holding the lattice, the av_vels emitted so far, the step index and the grid
+signature. Resuming and running the remaining steps is BIT-IDENTICAL to an
+uninterrupted run: the scan body is the same jitted step, and splitting one
+scan into chunks does not change per-step arithmetic or ordering
+(tested in tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from .params import Params
+
+FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    f: np.ndarray          # (9, ny, nx) lattice at `step`
+    av_vels: np.ndarray    # per-step av_vels for steps [0, step)
+    step: int
+    params: Params
+
+    @property
+    def steps_done(self) -> int:
+        return self.step
+
+
+def save(path: str | Path, f: np.ndarray, av_vels: np.ndarray, step: int,
+         params: Params) -> None:
+    """Atomic write (tmp + rename): a crash mid-save never corrupts the
+    previous checkpoint."""
+    path = Path(path)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    np.savez(
+        tmp, version=FORMAT_VERSION, f=np.asarray(f),
+        av_vels=np.asarray(av_vels, np.float64), step=int(step),
+        nx=params.nx, ny=params.ny, max_iters=params.max_iters,
+        reynolds_dim=params.reynolds_dim, density=params.density,
+        accel=params.accel, omega=params.omega,
+    )
+    # np.savez appends .npz to names without it
+    written = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    written.replace(path)
+
+
+def load(path: str | Path, expect: Params | None = None) -> Checkpoint:
+    with np.load(path) as z:
+        if int(z["version"]) != FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {z['version']}")
+        params = Params(
+            nx=int(z["nx"]), ny=int(z["ny"]), max_iters=int(z["max_iters"]),
+            reynolds_dim=int(z["reynolds_dim"]), density=float(z["density"]),
+            accel=float(z["accel"]), omega=float(z["omega"]),
+        )
+        ck = Checkpoint(f=z["f"], av_vels=z["av_vels"], step=int(z["step"]),
+                        params=params)
+    if expect is not None and (params.nx != expect.nx or params.ny != expect.ny
+                               or params.omega != expect.omega):
+        raise ValueError(
+            f"checkpoint grid/physics {params.ny}x{params.nx} omega="
+            f"{params.omega} does not match the requested run "
+            f"{expect.ny}x{expect.nx} omega={expect.omega}"
+        )
+    return ck

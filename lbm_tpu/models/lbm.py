@@ -76,6 +76,94 @@ def run_simulation(
     )
 
 
+def run_simulation_with_checkpoints(
+    params: Params,
+    obstacles: Obstacles,
+    *,
+    checkpoint_path: str | Path,
+    checkpoint_every: int,
+    dtype=jnp.float32,
+    engine: str = "jax",
+    resume: bool = False,
+    num_steps: int | None = None,
+    k_steps: int = 4,
+) -> LbmResult:
+    """Run in chunks of `checkpoint_every` steps, writing an atomic .npz
+    checkpoint after each chunk; `resume=True` continues from an existing
+    checkpoint. Chunking is bit-identical to one uninterrupted run of the
+    same engine config (same jitted step, same order). For the pallas
+    engine both the total and checkpoint_every must be multiples of
+    k_steps — kernels compiled at different K differ at the ulp level
+    (different Mosaic instruction selection), so a remainder chunk at
+    another K would break exactness.
+    Beyond-reference capability — see core/checkpoint.py."""
+    from ..core import checkpoint
+    from ..ops import d2q9
+
+    p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
+    total = p.max_iters
+    if engine == "pallas" and (total % k_steps or checkpoint_every % k_steps):
+        raise ValueError(
+            f"pallas checkpointing needs num_steps ({total}) and "
+            f"checkpoint_every ({checkpoint_every}) divisible by "
+            f"k_steps ({k_steps}) for bit-exact chunking"
+        )
+    aw = d2q9.AccelWeights.from_params(p)
+    accel_row = p.ny - 2
+    mask = jnp.asarray(obstacles.mask)
+    num_free = float((~obstacles.mask).sum())
+
+    ck_path = Path(checkpoint_path)
+    if resume and ck_path.exists():
+        ck = checkpoint.load(ck_path, expect=p)
+        f = jnp.asarray(ck.f, dtype)
+        start = ck.step
+        av_parts = [np.asarray(ck.av_vels, np.float64)]
+    else:
+        f = jnp.asarray(state.initial_distributions(p, np.dtype(dtype)))
+        f = d2q9.first_accelerate(f, mask, accel_row=accel_row,
+                                  accel_w1=aw.w1, accel_w2=aw.w2)
+        start = 0
+        av_parts = []
+
+    amask = d2q9.accel_row_mask(p.ny, p.nx, accel_row, dtype=f.dtype)
+    mask_f = mask.astype(f.dtype)
+
+    def run_chunk(f, n):
+        if engine == "jax":
+            return d2q9.run(f, mask, amask, num_steps=n, omega=p.omega,
+                            accel_w1=aw.w1, accel_w2=aw.w2)
+        if engine == "pallas":
+            from ..ops import d2q9_pallas
+
+            return d2q9_pallas.run(f, mask_f, num_steps=n, omega=p.omega,
+                                   accel_w1=aw.w1, accel_w2=aw.w2,
+                                   accel_row=accel_row, k_steps=k_steps)
+        raise ValueError(f"unknown engine {engine!r}")
+
+    t0 = time.perf_counter()
+    while start < total:
+        n = min(checkpoint_every, total - start)
+        f, tot = run_chunk(f, n)
+        # divide in f.dtype to match d2q9(.pallas).simulate exactly
+        av_parts.append(np.asarray(
+            tot / jnp.asarray(num_free, f.dtype), np.float64))
+        start += n
+        checkpoint.save(ck_path, np.asarray(f), np.concatenate(av_parts),
+                        start, p)
+    compute_seconds = time.perf_counter() - t0
+
+    av_np = np.concatenate(av_parts) if av_parts else np.zeros(0)
+    f_np = np.asarray(f)
+    return LbmResult(
+        f_final=f_np,
+        av_vels=av_np,
+        compute_seconds=compute_seconds,
+        reynolds=reynolds_number(p, float(av_np[-1])),
+        total_density=state.total_density(f_np),
+    )
+
+
 def run_simulation_sharded(
     params: Params,
     obstacles: Obstacles,

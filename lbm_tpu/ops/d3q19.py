@@ -178,6 +178,15 @@ def simulate(
         obstacle_mask[0] = True
         obstacle_mask[-1] = True
     obstacle_mask = jnp.asarray(obstacle_mask)
+    if engine == "sharded-pallas":
+        from ..parallel import pallas_sharded_3d
+
+        return pallas_sharded_3d.simulate(
+            nz, ny, nx, num_steps=num_steps, omega=omega, density=density,
+            accel=accel, obstacle_mask=np.asarray(obstacle_mask),
+            dtype=dtype, k_steps=k_steps,
+            mesh=pallas_sharded_3d.make_z_mesh(num_devices),
+        )
     if engine == "sharded":
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
