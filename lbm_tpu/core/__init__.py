@@ -1,2 +1,2 @@
-from .params import Params, Obstacles
-from . import io, state
+from . import checkpoint, io, state
+from .params import Obstacles, Params, reynolds_number

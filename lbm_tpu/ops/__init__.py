@@ -1,1 +1,1 @@
-from . import d2q9
+from . import d2q9, d2q9_pallas, d3q19, d3q19_pallas, stencil

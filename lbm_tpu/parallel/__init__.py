@@ -1,1 +1,1 @@
-from . import halo, mesh, pallas_sharded, partition
+from . import halo, mesh, pallas_sharded, pallas_sharded_3d, partition
