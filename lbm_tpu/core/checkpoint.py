@@ -63,11 +63,12 @@ def load(path: str | Path, expect: Params | None = None) -> Checkpoint:
         )
         ck = Checkpoint(f=z["f"], av_vels=z["av_vels"], step=int(z["step"]),
                         params=params)
-    if expect is not None and (params.nx != expect.nx or params.ny != expect.ny
-                               or params.omega != expect.omega):
+    if expect is not None and any(
+        getattr(params, k) != getattr(expect, k)
+        for k in ("nx", "ny", "omega", "density", "accel", "reynolds_dim")
+    ):
         raise ValueError(
-            f"checkpoint grid/physics {params.ny}x{params.nx} omega="
-            f"{params.omega} does not match the requested run "
-            f"{expect.ny}x{expect.nx} omega={expect.omega}"
+            f"checkpoint grid/physics ({params}) does not match the "
+            f"requested run ({expect})"
         )
     return ck

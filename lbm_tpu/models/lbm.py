@@ -118,6 +118,17 @@ def run_simulation_with_checkpoints(
         ck = checkpoint.load(ck_path, expect=p)
         f = jnp.asarray(ck.f, dtype)
         start = ck.step
+        if start > total:
+            raise ValueError(
+                f"checkpoint is at step {start}, beyond the requested "
+                f"{total} steps — nothing to resume"
+            )
+        if engine == "pallas" and start % k_steps:
+            raise ValueError(
+                f"checkpoint step {start} is not a multiple of k_steps "
+                f"({k_steps}); it was written by a differently-chunked run "
+                "— resume with the engine that wrote it"
+            )
         av_parts = [np.asarray(ck.av_vels, np.float64)]
     else:
         f = jnp.asarray(state.initial_distributions(p, np.dtype(dtype)))

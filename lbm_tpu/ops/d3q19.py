@@ -172,21 +172,25 @@ def simulate(
     engine='sharded' runs the jax step on a (z, y)-sharded mesh with
     XLA-implicit halo collectives (the 3-D multi-chip path — the winning
     "implicit" strategy of the 2-D halo study applied to z/y planes)."""
+    if engine == "sharded-pallas":
+        # dispatch before building the lattice: pallas_sharded_3d.simulate
+        # constructs its own sharded state
+        from ..parallel import pallas_sharded_3d
+
+        return pallas_sharded_3d.simulate(
+            nz, ny, nx, num_steps=num_steps, omega=omega, density=density,
+            accel=accel,
+            obstacle_mask=None if obstacle_mask is None
+            else np.asarray(obstacle_mask),
+            dtype=dtype, k_steps=k_steps,
+            mesh=pallas_sharded_3d.make_z_mesh(num_devices),
+        )
     f = jnp.asarray(initial_distributions(nz, ny, nx, density, dtype))
     if obstacle_mask is None:
         obstacle_mask = np.zeros((nz, ny, nx), bool)
         obstacle_mask[0] = True
         obstacle_mask[-1] = True
     obstacle_mask = jnp.asarray(obstacle_mask)
-    if engine == "sharded-pallas":
-        from ..parallel import pallas_sharded_3d
-
-        return pallas_sharded_3d.simulate(
-            nz, ny, nx, num_steps=num_steps, omega=omega, density=density,
-            accel=accel, obstacle_mask=np.asarray(obstacle_mask),
-            dtype=dtype, k_steps=k_steps,
-            mesh=pallas_sharded_3d.make_z_mesh(num_devices),
-        )
     if engine == "sharded":
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -19,7 +19,6 @@ equals the global step (tested on an 8-virtual-device CPU mesh).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -27,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core import state
 from ..core.params import Params
 from ..ops import d2q9
 from . import mesh as mesh_lib
@@ -322,19 +320,10 @@ def simulate_sharded(
                 "strategy='ppermute' (pad-and-mask)"
             )
         pad_r, pad_c = mesh_lib.shard_padding(ny, nx, n_r, n_c)
-        f_np = np.asarray(f)
-        fpad = np.empty((9, ny + pad_r, nx + pad_c), f_np.dtype)
-        # padding cells hold the initial equilibrium (finite values); they
-        # are masked as obstacles, excluded from Sum|u|, and never read by
+        # padding cells are equilibrium-filled obstacles, never read by
         # valid cells (the padded exchange wraps at the valid edge)
-        fpad[:] = state.initial_distributions(
-            dataclasses.replace(params, ny=ny + pad_r, nx=nx + pad_c),
-            f_np.dtype,
-        )
-        fpad[:, :ny, :nx] = f_np
-        mask_pad = np.ones((ny + pad_r, nx + pad_c), bool)
-        mask_pad[:ny, :nx] = np.asarray(obstacle_mask)
-        f, padded_mask = fpad, mask_pad
+        f, padded_mask = mesh_lib.pad_grid(params, f, obstacle_mask,
+                                           pad_r, pad_c)
     else:
         padded_mask = obstacle_mask
 

@@ -22,19 +22,22 @@ COL_AXIS = "rx"
 
 
 def best_factorisation(
-    n_devices: int, ny: int, nx: int, *, require_even: bool = True
+    n_devices: int, ny: int, nx: int, *, require_even: bool = True,
+    for_padding: bool = False,
 ) -> tuple[int, int]:
     """Pick (rows, cols) with rows*cols == n_devices minimising shard
     perimeter/area — the reference's row/col-imbalance heuristic
     (StructuredGridUtils.hpp:489-520) recast for halo traffic.
 
     require_even=True only admits factorisations that divide the grid
-    exactly. require_even=False admits any grid the pad-and-mask runtime can
-    execute (the analogue of the reference's remainder-row strategies,
-    StructuredGridUtils.hpp:309-412): shards take ceil-divided blocks, the
-    grid is padded with masked cells, and all padding must land in the LAST
-    shard of each axis — i.e. (r-1)*ceil(ny/r) < ny. Prefers exact splits
-    (zero waste), then lower halo traffic.
+    exactly. require_even=False admits remainder splits (the analogue of the
+    reference's remainder-row strategies, StructuredGridUtils.hpp:309-412).
+    for_padding=True additionally restricts to factorisations the
+    pad-and-mask RUNTIME can execute — shards take ceil-divided blocks and
+    all padding must land in the LAST shard of each axis, i.e.
+    (r-1)*ceil(ny/r) < ny; the planner's round-robin remainder splits
+    (partition.partition_for_devices) have no such constraint and must not
+    pass it. Prefers exact splits (zero waste), then lower halo traffic.
     """
     best = (n_devices, 1)
     best_cost = math.inf
@@ -48,7 +51,7 @@ def best_factorisation(
             continue
         h = -(-ny // r)  # ceil
         w = -(-nx // c)
-        if (r - 1) * h >= ny or (c - 1) * w >= nx:
+        if for_padding and ((r - 1) * h >= ny or (c - 1) * w >= nx):
             continue  # padding would spill beyond the last shard
         waste = (r * h * c * w - ny * nx) / (ny * nx)
         cost = 1 / h + 1 / w + waste  # halo cells per cell + padded fraction
@@ -79,6 +82,27 @@ def shard_padding(ny: int, nx: int, n_rows: int, n_cols: int) -> tuple[int, int]
     return n_rows * h - ny, n_cols * w - nx
 
 
+def pad_grid(params, f, obstacle_mask, pad_rows: int, pad_cols: int):
+    """Pad-and-mask state construction shared by the uneven-grid runtimes
+    (halo.simulate_sharded, pallas_sharded.simulate): padding cells hold the
+    initial equilibrium (finite values), are masked as obstacles (excluded
+    from Sum|u|, dynamics bounded by rebound) and sit after the real rows
+    (top) / cols (east). Returns (f_padded, mask_padded) as numpy arrays."""
+    import dataclasses
+
+    from ..core import state
+
+    f_np = np.asarray(f)
+    new_ny, new_nx = params.ny + pad_rows, params.nx + pad_cols
+    fpad = np.empty((9, new_ny, new_nx), f_np.dtype)
+    fpad[:] = state.initial_distributions(
+        dataclasses.replace(params, ny=new_ny, nx=new_nx), f_np.dtype)
+    fpad[:, : params.ny, : params.nx] = f_np
+    mask_pad = np.ones((new_ny, new_nx), bool)
+    mask_pad[: params.ny, : params.nx] = np.asarray(obstacle_mask)
+    return fpad, mask_pad
+
+
 def make_mesh(n_devices: int | None = None, ny: int = 1024, nx: int = 1024,
               devices=None) -> Mesh:
     if devices is None:
@@ -90,7 +114,8 @@ def make_mesh(n_devices: int | None = None, ny: int = 1024, nx: int = 1024,
     except ValueError:
         # no exact split: the runtime runs uneven grids via pad-and-mask
         # (halo.simulate_sharded, strategy='ppermute')
-        r, c = best_factorisation(n_devices, ny, nx, require_even=False)
+        r, c = best_factorisation(n_devices, ny, nx, require_even=False,
+                                  for_padding=True)
     dev_grid = np.array(devices[:n_devices]).reshape(r, c)
     return Mesh(dev_grid, (ROW_AXIS, COL_AXIS))
 

@@ -237,18 +237,9 @@ def simulate(
     mask_padded = obstacle_np
     if pad:
         # pad-and-mask: equilibrium-filled dead rows in the last shard,
-        # masked as obstacles (see halo.simulate_sharded)
-        import dataclasses
-
-        from ..core import state
-
-        fpad = np.empty((9, ny + pad, nx), f_np.dtype)
-        fpad[:] = state.initial_distributions(
-            dataclasses.replace(params, ny=ny + pad), f_np.dtype)
-        fpad[:, :ny, :] = f_np
-        f_np = fpad
-        mask_padded = np.ones((ny + pad, nx), bool)
-        mask_padded[:ny, :] = obstacle_np
+        # masked as obstacles (shared helper with halo.simulate_sharded)
+        f_np, mask_padded = mesh_lib.pad_grid(params, f_np, obstacle_np,
+                                              pad, 0)
 
     f = jax.device_put(jnp.asarray(f_np), NamedSharding(mesh, P(None, ROW, COL)))
     obstacle_sh = jax.device_put(

@@ -103,3 +103,26 @@ def test_cli_checkpoint_resume_roundtrip(case, tmp_path):
     assert direct.returncode == 0, direct.stderr
     got = np.loadtxt(tmp_path / "av_vels.dat", usecols=1, delimiter="\t")
     assert got.shape == (40,)
+
+
+@needs_ref
+def test_resume_beyond_requested_steps_errors(case, tmp_path):
+    p, obs = case
+    ck = tmp_path / "ck.npz"
+    lbm_model.run_simulation_with_checkpoints(
+        p, obs, num_steps=30, checkpoint_path=ck, checkpoint_every=30)
+    with pytest.raises(ValueError, match="beyond"):
+        lbm_model.run_simulation_with_checkpoints(
+            p, obs, num_steps=20, checkpoint_path=ck, checkpoint_every=10,
+            resume=True)
+
+
+def test_checkpoint_rejects_mismatched_physics(tmp_path):
+    p = Params(nx=16, ny=16, max_iters=4, reynolds_dim=10,
+               density=0.1, accel=0.005, omega=1.85)
+    checkpoint.save(tmp_path / "ck.npz", np.zeros((9, 16, 16), np.float32),
+                    np.zeros(2), 2, p)
+    import dataclasses
+    other = dataclasses.replace(p, accel=0.01)
+    with pytest.raises(ValueError, match="does not match"):
+        checkpoint.load(tmp_path / "ck.npz", expect=other)

@@ -182,3 +182,13 @@ def test_viz_render_properties():
     # border pixels of the first slice are white
     sl = next(iter(part.values()))
     assert (img[sl.row_start, sl.col_start:sl.col_end, :3] == 255).all()
+
+
+def test_planner_handles_grids_the_padded_runtime_cannot():
+    """Round-2 review regression: the pad-and-mask spill constraint must not
+    leak into the planner, whose round-robin remainder splits handle any
+    grid (reference: StructuredGridUtils.hpp remainder strategies)."""
+    part = partition.partition_for_devices(9, 9, 8)
+    st = partition.stats(part)
+    assert st.num_targets == 8
+    assert st.total_cells == 81
