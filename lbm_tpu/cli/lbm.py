@@ -136,9 +136,6 @@ def main(argv=None) -> int:
                  else contextlib.nullcontext())
     with trace_ctx:
         if args.checkpoint_every or args.resume:
-            if args.engine not in ("jax", "pallas"):
-                parser.error("--checkpoint-every/--resume support "
-                             "--engine jax|pallas only")
             from pathlib import Path as _Path
 
             ck = args.checkpoint or str(_Path(args.out_dir) / "checkpoint.npz")
@@ -148,6 +145,7 @@ def main(argv=None) -> int:
                 checkpoint_path=ck,
                 checkpoint_every=args.checkpoint_every or params.max_iters,
                 resume=args.resume, num_steps=args.num_steps,
+                strategy=args.strategy, num_devices=args.num_devices,
             )
         elif args.engine in ("sharded", "sharded-pallas"):
             result = lbm_model.run_simulation_sharded(

@@ -87,6 +87,8 @@ def run_simulation_with_checkpoints(
     resume: bool = False,
     num_steps: int | None = None,
     k_steps: int = 4,
+    strategy: str = "ppermute",
+    num_devices: int | None = None,
 ) -> LbmResult:
     """Run in chunks of `checkpoint_every` steps, writing an atomic .npz
     checkpoint after each chunk; `resume=True` continues from an existing
@@ -96,13 +98,17 @@ def run_simulation_with_checkpoints(
     k_steps — kernels compiled at different K differ at the ulp level
     (different Mosaic instruction selection), so a remainder chunk at
     another K would break exactness.
+    Multi-chip engines ('sharded' with a halo `strategy`, 'sharded-pallas')
+    checkpoint the gathered global state, so a checkpoint written on one
+    mesh can resume on another (valid cells are mesh-independent).
     Beyond-reference capability — see core/checkpoint.py."""
     from ..core import checkpoint
     from ..ops import d2q9
 
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
     total = p.max_iters
-    if engine == "pallas" and (total % k_steps or checkpoint_every % k_steps):
+    pallas_like = engine in ("pallas", "sharded-pallas")
+    if pallas_like and (total % k_steps or checkpoint_every % k_steps):
         raise ValueError(
             f"pallas checkpointing needs num_steps ({total}) and "
             f"checkpoint_every ({checkpoint_every}) divisible by "
@@ -116,14 +122,14 @@ def run_simulation_with_checkpoints(
     ck_path = Path(checkpoint_path)
     if resume and ck_path.exists():
         ck = checkpoint.load(ck_path, expect=p)
-        f = jnp.asarray(ck.f, dtype)
+        f_host = np.asarray(ck.f, np.dtype(dtype))
         start = ck.step
         if start > total:
             raise ValueError(
                 f"checkpoint is at step {start}, beyond the requested "
                 f"{total} steps — nothing to resume"
             )
-        if engine == "pallas" and start % k_steps:
+        if pallas_like and start % k_steps:
             raise ValueError(
                 f"checkpoint step {start} is not a multiple of k_steps "
                 f"({k_steps}); it was written by a differently-chunked run "
@@ -131,25 +137,79 @@ def run_simulation_with_checkpoints(
             )
         av_parts = [np.asarray(ck.av_vels, np.float64)]
     else:
-        f = jnp.asarray(state.initial_distributions(p, np.dtype(dtype)))
-        f = d2q9.first_accelerate(f, mask, accel_row=accel_row,
-                                  accel_w1=aw.w1, accel_w2=aw.w2)
+        f_host = state.initial_distributions(p, np.dtype(dtype))
         start = 0
         av_parts = []
+    need_first_accel = start == 0
 
-    amask = d2q9.accel_row_mask(p.ny, p.nx, accel_row, dtype=f.dtype)
-    mask_f = mask.astype(f.dtype)
+    if engine in ("jax", "pallas"):
+        f = jnp.asarray(f_host)
+        if need_first_accel:
+            f = d2q9.first_accelerate(f, mask, accel_row=accel_row,
+                                      accel_w1=aw.w1, accel_w2=aw.w2)
+        amask = d2q9.accel_row_mask(p.ny, p.nx, accel_row, dtype=f.dtype)
+        mask_f = mask.astype(f.dtype)
 
-    def run_chunk(f, n):
-        if engine == "jax":
-            return d2q9.run(f, mask, amask, num_steps=n, omega=p.omega,
-                            accel_w1=aw.w1, accel_w2=aw.w2)
-        if engine == "pallas":
+        def run_chunk(f, n):
+            if engine == "jax":
+                return d2q9.run(f, mask, amask, num_steps=n, omega=p.omega,
+                                accel_w1=aw.w1, accel_w2=aw.w2)
             from ..ops import d2q9_pallas
 
             return d2q9_pallas.run(f, mask_f, num_steps=n, omega=p.omega,
                                    accel_w1=aw.w1, accel_w2=aw.w2,
                                    accel_row=accel_row, k_steps=k_steps)
+
+        def gather(f):
+            return np.asarray(f)
+
+    elif engine == "sharded":
+        import jax
+
+        from ..parallel import halo, mesh as mesh_lib
+
+        if strategy == "none":
+            raise ValueError("'none' skips halo exchange — wrong physics")
+        n_dev = num_devices or len(jax.devices())
+        mesh = mesh_lib.make_mesh(n_dev, p.ny, p.nx)
+        f, padded_mask, amask, (pad_r, pad_c) = halo.prepare_sharded(
+            p, f_host, obstacles.mask, mesh, strategy,
+            first_accelerate=need_first_accel,
+        )
+
+        def run_chunk(f, n):
+            if strategy == "implicit":
+                return d2q9.run(f, padded_mask, amask, num_steps=n,
+                                omega=p.omega, accel_w1=aw.w1, accel_w2=aw.w2)
+            return halo.run_sharded(
+                f, padded_mask, amask, mesh=mesh, num_steps=n,
+                omega=p.omega, accel_w1=aw.w1, accel_w2=aw.w2,
+                exchange=strategy, pad_rows=pad_r, pad_cols=pad_c)
+
+        def gather(f):
+            return np.asarray(f)[:, : p.ny, : p.nx]
+
+    elif engine == "sharded-pallas":
+        import jax
+
+        from ..parallel import pallas_sharded
+
+        mesh = pallas_sharded.make_row_mesh(num_devices)
+        f, mask_ext_f, _pad = pallas_sharded.prepare(
+            p, f_host, obstacles.mask, mesh,
+            first_accelerate=need_first_accel,
+        )
+
+        def run_chunk(f, n):
+            return pallas_sharded.run(
+                f, mask_ext_f, mesh=mesh, num_steps=n, k_steps=k_steps,
+                omega=p.omega, accel_w1=aw.w1, accel_w2=aw.w2,
+                accel_row=accel_row, ny=p.ny)
+
+        def gather(f):
+            return np.asarray(f)[:, : p.ny, :]
+
+    else:
         raise ValueError(f"unknown engine {engine!r}")
 
     t0 = time.perf_counter()
@@ -160,12 +220,12 @@ def run_simulation_with_checkpoints(
         av_parts.append(np.asarray(
             tot / jnp.asarray(num_free, f.dtype), np.float64))
         start += n
-        checkpoint.save(ck_path, np.asarray(f), np.concatenate(av_parts),
+        checkpoint.save(ck_path, gather(f), np.concatenate(av_parts),
                         start, p)
     compute_seconds = time.perf_counter() - t0
 
     av_np = np.concatenate(av_parts) if av_parts else np.zeros(0)
-    f_np = np.asarray(f)
+    f_np = gather(f)
     return LbmResult(
         f_final=f_np,
         av_vels=av_np,

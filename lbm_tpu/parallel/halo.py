@@ -279,30 +279,21 @@ def run_sharded(
     return jax.lax.scan(body, f, None, length=num_steps, unroll=unroll)
 
 
-def simulate_sharded(
+def prepare_sharded(
     params: Params,
     f,
     obstacle_mask,
     mesh: Mesh,
-    *,
     strategy: str = "ppermute",
-    unroll: int = 1,
-    allow_invalid: bool = False,
+    *,
+    first_accelerate: bool = True,
 ):
-    """Full reference-semantics simulation on a device mesh.
-
-    strategy='ppermute': explicit shard_map halo rings (this module).
-    strategy='implicit': global step on sharded arrays; XLA chooses the
-    collectives (the reference's winning "implicit" scheme).
-    strategy='allgather': deliberately-heavy gather-everything baseline.
-    ('none' is a physically-WRONG zero-communication cost baseline and is
-    rejected here; only the exchange-vs-compute experiment uses it via
-    allow_invalid=True.)
-
-    Grids that do not divide the mesh run via pad-and-mask (ppermute; the
-    reference ran any grid on any IPU count, StructuredGridUtils.hpp:472-561)
-    or natively via GSPMD's uneven sharding (implicit).
-    """
+    """Lay the state out on the mesh ready for run_sharded: pad-and-mask if
+    the grid does not divide the mesh, device_put with the grid shardings,
+    apply the one-off guarded acceleration (skip with
+    first_accelerate=False when resuming from a checkpoint — the state is
+    already accelerated). Returns (f_sh, padded_mask_sh, amask_sh,
+    (pad_rows, pad_cols))."""
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
     ny, nx = params.ny, params.nx
@@ -327,16 +318,49 @@ def simulate_sharded(
     else:
         padded_mask = obstacle_mask
 
-    fs = mesh_lib.grid_sharding(mesh)
-    ms = mesh_lib.mask_sharding(mesh)
-    f = jax.device_put(jnp.asarray(f), fs)
-    padded_mask = jax.device_put(jnp.asarray(padded_mask), ms)
-
-    f = d2q9.first_accelerate(
-        f, padded_mask, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
-    )
-    amask = d2q9.accel_row_mask(ny + pad_r, nx + pad_c, accel_row, dtype=f.dtype)
+    f = jax.device_put(jnp.asarray(f), mesh_lib.grid_sharding(mesh))
+    padded_mask = jax.device_put(jnp.asarray(padded_mask),
+                                 mesh_lib.mask_sharding(mesh))
+    if first_accelerate:
+        f = d2q9.first_accelerate(
+            f, padded_mask, accel_row=accel_row,
+            accel_w1=aw.w1, accel_w2=aw.w2,
+        )
+    amask = d2q9.accel_row_mask(ny + pad_r, nx + pad_c, accel_row,
+                                dtype=f.dtype)
     amask = jax.device_put(amask, NamedSharding(mesh, P(ROW, None)))
+    return f, padded_mask, amask, (pad_r, pad_c)
+
+
+def simulate_sharded(
+    params: Params,
+    f,
+    obstacle_mask,
+    mesh: Mesh,
+    *,
+    strategy: str = "ppermute",
+    unroll: int = 1,
+    allow_invalid: bool = False,
+):
+    """Full reference-semantics simulation on a device mesh.
+
+    strategy='ppermute': explicit shard_map halo rings (this module).
+    strategy='implicit': global step on sharded arrays; XLA chooses the
+    collectives (the reference's winning "implicit" scheme).
+    strategy='allgather': deliberately-heavy gather-everything baseline.
+    ('none' is a physically-WRONG zero-communication cost baseline and is
+    rejected here; only the exchange-vs-compute experiment uses it via
+    allow_invalid=True.)
+
+    Grids that do not divide the mesh run via pad-and-mask (ppermute; the
+    reference ran any grid on any IPU count, StructuredGridUtils.hpp:472-561)
+    or natively via GSPMD's uneven sharding (implicit).
+    """
+    f, padded_mask, amask, (pad_r, pad_c) = prepare_sharded(
+        params, f, obstacle_mask, mesh, strategy
+    )
+    aw = d2q9.AccelWeights.from_params(params)
+    ny, nx = params.ny, params.nx
 
     if strategy == "none" and not allow_invalid:
         raise ValueError(

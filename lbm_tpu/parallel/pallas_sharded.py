@@ -213,6 +213,48 @@ def run(
     return f_final, tots.reshape(num_steps)
 
 
+def prepare(
+    params: Params,
+    f,
+    obstacle_mask,
+    mesh: Mesh,
+    *,
+    first_accelerate: bool = True,
+):
+    """Lay the state out for run(): pad-and-mask uneven rows, device_put,
+    one-off guarded acceleration (skip with first_accelerate=False when
+    resuming a checkpoint), and build the ghost-extended obstacle mask.
+    Returns (f_sh, mask_ext_f, pad_rows)."""
+    n_rows, n_cols = mesh.devices.shape
+    aw = d2q9.AccelWeights.from_params(params)
+    accel_row = params.ny - 2
+    ny = params.ny
+
+    obstacle_np = np.asarray(obstacle_mask)
+    _, pad = plan_rows(ny, n_rows)
+    f_np = np.asarray(f)
+    mask_padded = obstacle_np
+    if pad:
+        # pad-and-mask: equilibrium-filled dead rows in the last shard,
+        # masked as obstacles (shared helper with halo.simulate_sharded)
+        f_np, mask_padded = mesh_lib.pad_grid(params, f_np, obstacle_np,
+                                              pad, 0)
+
+    f = jax.device_put(jnp.asarray(f_np), NamedSharding(mesh, P(None, ROW, COL)))
+    if first_accelerate:
+        obstacle_sh = jax.device_put(
+            jnp.asarray(mask_padded), NamedSharding(mesh, P(ROW, COL))
+        )
+        f = d2q9.first_accelerate(
+            f, obstacle_sh, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
+        )
+    mask_ext_f = jax.device_put(
+        jnp.asarray(extended_mask(obstacle_np, n_rows, n_cols), f.dtype),
+        NamedSharding(mesh, P(ROW, COL)),
+    )
+    return f, mask_ext_f, pad
+
+
 def simulate(
     params: Params,
     f,
@@ -226,32 +268,12 @@ def simulate(
     ghost-band + local-Pallas path. Same contract as d2q9.simulate."""
     if mesh is None:
         mesh = make_row_mesh()
-    n_rows, n_cols = mesh.devices.shape
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
     ny, nx = params.ny, params.nx
 
     obstacle_np = np.asarray(obstacle_mask)
-    h, pad = plan_rows(ny, n_rows)
-    f_np = np.asarray(f)
-    mask_padded = obstacle_np
-    if pad:
-        # pad-and-mask: equilibrium-filled dead rows in the last shard,
-        # masked as obstacles (shared helper with halo.simulate_sharded)
-        f_np, mask_padded = mesh_lib.pad_grid(params, f_np, obstacle_np,
-                                              pad, 0)
-
-    f = jax.device_put(jnp.asarray(f_np), NamedSharding(mesh, P(None, ROW, COL)))
-    obstacle_sh = jax.device_put(
-        jnp.asarray(mask_padded), NamedSharding(mesh, P(ROW, COL))
-    )
-    f = d2q9.first_accelerate(
-        f, obstacle_sh, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
-    )
-    mask_ext_f = jax.device_put(
-        jnp.asarray(extended_mask(obstacle_np, n_rows, n_cols), f.dtype),
-        NamedSharding(mesh, P(ROW, COL)),
-    )
+    f, mask_ext_f, pad = prepare(params, f, obstacle_mask, mesh)
     f_final, tot_u = run(
         f, mask_ext_f, mesh=mesh, num_steps=params.max_iters,
         k_steps=k_steps, omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2,

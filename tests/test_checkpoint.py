@@ -126,3 +126,46 @@ def test_checkpoint_rejects_mismatched_physics(tmp_path):
     other = dataclasses.replace(p, accel=0.01)
     with pytest.raises(ValueError, match="does not match"):
         checkpoint.load(tmp_path / "ck.npz", expect=other)
+
+
+@needs_ref
+@pytest.mark.parametrize("engine,kw", [
+    ("sharded", {"strategy": "ppermute"}),
+    ("sharded", {"strategy": "implicit"}),
+    ("sharded-pallas", {}),
+])
+def test_sharded_chunked_equals_uninterrupted(case, engine, kw, tmp_path):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    p, obs = case
+    direct = lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine=engine, num_steps=40, num_devices=8,
+        checkpoint_path=tmp_path / "a.npz", checkpoint_every=40, **kw)
+    chunked = lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine=engine, num_steps=40, num_devices=8,
+        checkpoint_path=tmp_path / "b.npz", checkpoint_every=20, **kw)
+    np.testing.assert_array_equal(chunked.av_vels, direct.av_vels)
+    np.testing.assert_array_equal(chunked.f_final, direct.f_final)
+
+
+@needs_ref
+def test_sharded_resume_matches_sharded_direct(case, tmp_path):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    p, obs = case
+    ck = tmp_path / "ck.npz"
+    direct = lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine="sharded", num_steps=40, num_devices=8,
+        checkpoint_path=tmp_path / "d.npz", checkpoint_every=40)
+    lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine="sharded", num_steps=20, num_devices=8,
+        checkpoint_path=ck, checkpoint_every=20)
+    resumed = lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine="sharded", num_steps=40, num_devices=8,
+        checkpoint_path=ck, checkpoint_every=20, resume=True)
+    np.testing.assert_array_equal(resumed.av_vels, direct.av_vels)
+    np.testing.assert_array_equal(resumed.f_final, direct.f_final)
