@@ -163,3 +163,22 @@ def test_lbm3d_cli(tmp_path):
     assert res.returncode == 0, res.stderr
     assert "==done==" in res.stdout
     assert (tmp_path / "av_vels_3d.dat").exists()
+
+
+@needs_ref
+def test_flow_viz_cli(tmp_path):
+    # produce a final_state quickly, then render two fields
+    res = run_cli([
+        "lbm_tpu.cli.lbm", "--params", f"{REF}/params/input_128x128.params",
+        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
+        "--device", "cpu", "--num-steps", "50", "--out-dir", str(tmp_path),
+    ])
+    assert res.returncode == 0, res.stderr
+    for field in ("speed", "vorticity"):
+        out = tmp_path / f"{field}.png"
+        res = run_cli([
+            "lbm_tpu.cli.flow_viz", str(tmp_path / "final_state.dat"),
+            "-o", str(out), "--field", field,
+        ])
+        assert res.returncode == 0, res.stderr
+        assert out.exists() and out.stat().st_size > 0
