@@ -63,16 +63,32 @@ def _time_runner(runner):
 
 
 def pallas_only() -> int:
-    """Subprocess entry: print seconds for the pallas_k4 engine."""
+    """Subprocess entry: print seconds (and the engine's OWN 100-step
+    correctness error — a miscompiled kernel must fail here, not just
+    be fast) for the pallas_k4 engine."""
+    from lbm_tpu.core import io
     from lbm_tpu.ops import d2q9_pallas
 
     p, obs, f_start, mask, aw, accel_row, amask = _setup()
     mask_f = mask.astype(f_start.dtype)
-    dt = _time_runner(lambda n: d2q9_pallas.run(
-        f_start, mask_f, num_steps=n, omega=p.omega,
-        accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row,
-        band=128, k_steps=4))
-    print(json.dumps({"seconds": dt}))
+
+    def runner(n):
+        return d2q9_pallas.run(
+            f_start, mask_f, num_steps=n, omega=p.omega,
+            accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row,
+            band=128, k_steps=4)
+
+    golden = io.read_av_vels(f"{REF}/check/1024x1024.av_vels.dat")
+    _, tot = runner(100)
+    av = np.asarray(tot, np.float64) / float((~np.asarray(mask)).sum())
+    rel = float((np.abs(av - golden[:100]) / golden[:100]).max())
+    if rel > 4e-4:
+        print(json.dumps({"error": f"pallas correctness gate failed: "
+                                   f"max rel err {rel:.2e}"}))
+        return 1
+
+    dt = _time_runner(runner)
+    print(json.dumps({"seconds": dt, "max_rel_err_100_steps": rel}))
     return 0
 
 

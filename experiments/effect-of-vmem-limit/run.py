@@ -18,6 +18,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+import jax
 import jax.numpy as jnp
 
 from lbm_tpu.ops import d2q9_pallas

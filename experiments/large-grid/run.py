@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Single-chip MLUPS across grid sizes (BASELINE configs 3 and 4's
-single-chip half: 1024^2 flagship, 2048^2, 4096^2).
+single-chip half: 1024^2 flagship, 2048^2, 4096^2, plus 8192^2 —
+2.4 GB/buffer, still comfortably HBM-resident).
 
 4096^2 f32 state = 604 MB x2 buffers — comfortably HBM-resident on one v5e;
 the multi-chip 4096^2 path is exercised by dryrun_multichip / the sharded
@@ -17,9 +18,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+import jax
 import jax.numpy as jnp
 
 from lbm_tpu.ops import d2q9, d2q9_pallas
+from lbm_tpu.utils import profiling
+
+profiling.enable_compilation_cache(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..', '..', '.jax_cache'))
 
 
 def main():
@@ -31,7 +37,7 @@ def main():
     with open(out_path, "w") as out:
         platform = jax.devices()[0].platform
         out.write("grid,platform,engine,iters,seconds,mlups\n")
-        for n in (1024, 2048, 4096):
+        for n in (1024, 2048, 4096, 8192):
             f0 = jnp.full((9, n, n), 0.1 / 9, jnp.float32)
             mask_f = jnp.zeros((n, n), jnp.float32)
             mask_b = jnp.zeros((n, n), bool)

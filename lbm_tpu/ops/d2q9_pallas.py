@@ -17,8 +17,11 @@ index_map (`(i*B//8 - 1) % (H//8)`), so the pipeline DMAs B+16 input rows and
 writes B rows per K steps — HBM traffic per step falls as 1/K, which is why
 K=2..4 beats the already-fused single-step kernel. Column wraparound is a
 cheap in-VMEM `pltpu.roll` of full lanes. Rows recomputed by adjacent bands
-(the 2(K-j) overlap rows of step j) are bit-identical, so the result equals K
-separate steps exactly.
+(the 2(K-j) overlap rows of step j) are bit-identical within a pass, so the
+result is band-decomposition-independent; versus K separate K=1 steps the
+result agrees to ~1 ulp, not bitwise — kernels compiled at different K get
+different instruction selection (measured in tests/test_checkpoint.py, which
+is why checkpoint chunks must keep one K).
 
 The per-band per-step Sum|u| partials accumulate into a (1, K) SMEM output
 across the sequential TPU grid — the analogue of the reference's on-device
