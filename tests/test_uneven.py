@@ -166,3 +166,31 @@ def test_padding_excluded_from_av_vels():
     _, av_8 = halo.simulate_sharded(p, f0, mask, mesh_of(8, 1),
                                     strategy="ppermute")
     np.testing.assert_allclose(np.asarray(av_8), np.asarray(av_1), rtol=2e-5)
+
+
+def test_random_uneven_shapes_fuzz():
+    """Seeded sweep of random grid/mesh combinations through the padded
+    ppermute path, each checked against the global engine."""
+    rng = np.random.default_rng(7)
+    meshes = [(2, 4), (4, 2), (8, 1), (1, 8), (2, 2)]
+    done = 0
+    while done < 5:
+        r, c = meshes[done % len(meshes)]
+        ny = int(rng.integers(r * 3, 80))
+        nx = int(rng.integers(c * 3, 80))
+        try:
+            mesh_lib.shard_padding(ny, nx, r, c)
+        except ValueError:
+            continue  # infeasible (pure-padding shard): legitimately rejected
+        p = make_params(ny, nx, iters=6)
+        mask = make_mask(ny, nx)
+        f0 = state.initial_distributions(p, np.float32)
+        f_ref, av_ref = d2q9.simulate(p, jnp.asarray(f0), jnp.asarray(mask))
+        f_sh, av_sh = halo.simulate_sharded(p, f0, mask, mesh_of(r, c),
+                                            strategy="ppermute")
+        np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                                   rtol=2e-5, atol=1e-7,
+                                   err_msg=f"{ny}x{nx} on {r}x{c}")
+        np.testing.assert_allclose(np.asarray(av_sh), np.asarray(av_ref),
+                                   rtol=2e-5, err_msg=f"{ny}x{nx} on {r}x{c}")
+        done += 1
