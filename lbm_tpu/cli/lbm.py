@@ -58,8 +58,8 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint-every", type=int, default=None,
                         metavar="N",
                         help="write an atomic state checkpoint every N steps "
-                             "(engines jax|pallas; chunking is bit-identical "
-                             "to an uninterrupted run)")
+                             "(all engines; chunking is bit-identical to an "
+                             "uninterrupted run of the same engine config)")
     parser.add_argument("--checkpoint", default=None, metavar="FILE",
                         help="checkpoint file (default: "
                              "<out-dir>/checkpoint.npz)")

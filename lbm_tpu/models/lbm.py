@@ -190,8 +190,11 @@ def run_simulation_with_checkpoints(
             return np.asarray(f)[:, : p.ny, : p.nx]
 
     elif engine == "sharded-pallas":
-        import jax
-
+        if strategy not in (None, "ppermute"):
+            raise ValueError(
+                f"--strategy {strategy!r} applies to --engine sharded only; "
+                "sharded-pallas always uses the ghost-band ppermute exchange"
+            )
         from ..parallel import pallas_sharded
 
         mesh = pallas_sharded.make_row_mesh(num_devices)
