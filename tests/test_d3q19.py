@@ -1,8 +1,11 @@
 """D3Q19 engine tests: lattice wiring, conservation, physics sanity."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lbm_tpu.ops import d3q19
 
@@ -118,3 +121,35 @@ def test_ghost_plane_pallas_sharded_matches_jax():
         np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
                                    rtol=2e-5, atol=1e-7,
                                    err_msg=f"shards={n_shards} k={k}")
+
+
+class TestGolden3D:
+    """Regression anchor for the 3-D engines: a committed f64 CPU trace
+    (tests/data/d3q19_16x16x32_200.av_vels.dat) plays the role check/ plays
+    for 2-D — the reference has no 3-D goldens, so this framework ships its
+    own."""
+
+    GOLDEN = os.path.join(os.path.dirname(__file__), "data",
+                          "d3q19_16x16x32_200.av_vels.dat")
+
+    def _golden(self):
+        return np.loadtxt(self.GOLDEN, usecols=1, delimiter="\t")
+
+    def test_f64_matches_exactly(self):
+        import jax
+
+        with jax.enable_x64(True):
+            _, av = d3q19.simulate(16, 16, 32, num_steps=200,
+                                   dtype=np.float64)
+            av = np.asarray(av, np.float64)
+        g = self._golden()
+        np.testing.assert_allclose(av[1:], g[1:], rtol=1e-12)
+
+    @pytest.mark.parametrize("engine,k", [("jax", None), ("pallas", 2)])
+    def test_f32_engines_within_floor(self, engine, k):
+        kw = {"k_steps": k} if k else {}
+        _, av = d3q19.simulate(16, 16, 32, num_steps=200, engine=engine, **kw)
+        av = np.asarray(av, np.float64)
+        g = self._golden()
+        rel = np.abs(av[1:] - g[1:]) / np.abs(g[1:])
+        assert rel.max() < 1e-4, f"{engine}: {rel.max():.3e}"
