@@ -37,7 +37,12 @@ def default_vmem_limit(bz: int, ny: int, nx: int, k: int) -> int:
 
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             mnext_ref, out_ref, tot_ref, *, bz: int, k_steps: int,
-            omega: float, density: float, accel: float, accel_plane: int):
+            omega: float, density: float, accel: float, accel_plane: int,
+            mode: str = "full"):
+    # mode is DIAGNOSTIC ONLY (experiments/lbm3d-perf): 'stream_only' skips
+    # the BGK collision, 'collide_no_roll' skips the (y,x) rolls — used to
+    # attribute kernel time between memory movement, rolls and arithmetic.
+    # Production paths always use 'full'.
     i = pl.program_id(0)
     global_nz = scal_ref[0, 0]
     plane_off = scal_ref[0, 1]   # local plane -> global plane (ghost blocks)
@@ -70,6 +75,17 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             out.append(x)
         return out
 
+    if mode == "copy":
+        # diagnostic: pure DMA floor — out = in, no concat/rolls/math
+        out_ref[:] = f_ref[:]
+
+        @pl.when(i == 0)
+        def _():
+            for j in range(k):
+                tot_ref[0, j] = jnp.zeros((), jnp.float32)
+
+        tot_ref[0, 0] += jnp.sum(f_ref[0, 0, :1, :128].astype(jnp.float32))
+        return
     state = jnp.concatenate(
         [prev_ref[:], f_ref[:], next_ref[:]], axis=1
     ).astype(dt)
@@ -93,11 +109,19 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             jnp.int32, (n_planes, 1, 1), 0
         )
         amask_j = (jnp.mod(planes_j, global_nz) == accel_plane).astype(dt)
-        state_list, u = d3q19.collide_fields(
-            streamed(state, n_planes), mask_j, amask_j,
-            omega=omega, density=density, accel=accel,
-        )
-        state = state_list  # stacked (19, n_planes, ny, nx)
+        if mode == "stream_only":
+            state = jnp.stack(streamed(state, n_planes))
+            u = state[0]
+        else:
+            if mode == "collide_no_roll":
+                s_in = [state[q, 1 + int(d) : 1 + int(d) + n_planes]
+                        for q, d in enumerate(-d3q19.E[:, 0])]
+            else:
+                s_in = streamed(state, n_planes)
+            state, u = d3q19.collide_fields(
+                s_in, mask_j, amask_j,
+                omega=omega, density=density, accel=accel,
+            )
         interior = u[k - j : k - j + bz]
         band_planes = i * bz + jax.lax.broadcasted_iota(
             jnp.int32, (bz, 1, 1), 0)
@@ -110,7 +134,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
-                accel_plane, interpret, vmem_limit=None):
+                accel_plane, interpret, vmem_limit=None, mode="full"):
     nz, ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if nz % bz:
@@ -121,7 +145,7 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
 
     kernel = functools.partial(
         _kernel, bz=bz, k_steps=k_steps, omega=omega, density=density,
-        accel=accel, accel_plane=accel_plane,
+        accel=accel, accel_plane=accel_plane, mode=mode,
     )
     k = k_steps
     return pl.pallas_call(
@@ -182,6 +206,7 @@ def stepk(
     bz: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
+    mode: str = "full",
     plane_offset: jax.Array | int = 0,
     valid_planes: tuple | None = None,
     global_nz: int | None = None,
@@ -208,7 +233,7 @@ def stepk(
         (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(k_steps),
         float(omega), float(density), float(accel), int(accel_plane),
         bool(interpret),
-        None if vmem_limit is None else int(vmem_limit),
+        None if vmem_limit is None else int(vmem_limit), str(mode),
     )
     if valid_planes is None:
         valid_planes = (0, nz)
