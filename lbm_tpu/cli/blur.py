@@ -30,6 +30,11 @@ def main(argv=None) -> int:
                         help="devices for --engine conv-sharded (default: all)")
     parser.add_argument("--data-type", default="float",
                         choices=["float", "half", "float32", "bfloat16"])
+    parser.add_argument("--band", type=int, default=None,
+                        help="Pallas row-band height for --engine pallas "
+                             "(the reference's --min-rows-per-tile analogue, "
+                             "GaussianBlurLowLevel.cpp:51-54; default: "
+                             "measured heuristic)")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     parser.add_argument("--blur-alpha", action="store_true")
     parser.add_argument("--compile-only", action="store_true",
@@ -82,7 +87,7 @@ def main(argv=None) -> int:
     seconds = blur.blur_file(
         args.image, args.output, num_iters=args.num_iters,
         engine=args.engine, dtype=dtype, blur_alpha=args.blur_alpha,
-        num_devices=args.num_devices,
+        num_devices=args.num_devices, band=args.band,
     )
     print(f"{args.num_iters}(x2) iterations took {seconds:.6f}s "
           f"({seconds * 1e6:.0f} us)")

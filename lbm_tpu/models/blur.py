@@ -22,6 +22,7 @@ def blur_image(
     dtype=jnp.float32,
     blur_alpha: bool = False,
     num_devices: int | None = None,
+    band: int | None = None,
 ) -> tuple[np.ndarray, float]:
     """Normalise, pad, run num_iters x2 blur passes, denormalise.
     Returns (blurred RGBA uint8, compute_seconds). By default the alpha
@@ -50,11 +51,13 @@ def blur_image(
             mesh, P(mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS)))
         engine = "conv"
 
-    out = stencil.blur_many(x, inter, num_iters=num_iters, engine=engine)
+    out = stencil.blur_many(x, inter, num_iters=num_iters,
+                            engine=engine, band=band)
     np.asarray(out)  # materialize: warm-up/compile
 
     t0 = time.perf_counter()
-    out = stencil.blur_many(x, inter, num_iters=num_iters, engine=engine)
+    out = stencil.blur_many(x, inter, num_iters=num_iters,
+                            engine=engine, band=band)
     out_np = np.asarray(out, dtype=np.float32)
     compute_seconds = time.perf_counter() - t0
 
