@@ -38,7 +38,7 @@ def default_vmem_limit(bz: int, ny: int, nx: int, k: int) -> int:
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             mnext_ref, out_ref, tot_ref, *, bz: int, k_steps: int,
             omega: float, density: float, accel: float, accel_plane: int,
-            mode: str = "full"):
+            mode: str = "full", layout: str = "qmajor"):
     # mode is DIAGNOSTIC ONLY (experiments/lbm3d-perf): 'stream_only' skips
     # the BGK collision, 'collide_no_roll' skips the (y,x) rolls — used to
     # attribute kernel time between memory movement, rolls and arithmetic.
@@ -86,9 +86,20 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 
         tot_ref[0, 0] += jnp.sum(f_ref[0, 0, :1, :128].astype(jnp.float32))
         return
-    state = jnp.concatenate(
-        [prev_ref[:], f_ref[:], next_ref[:]], axis=1
-    ).astype(dt)
+    if layout == "zmajor":
+        # z-major HBM layout (nz, 19, ny, nx): each slab block is ONE
+        # contiguous DMA (the q-major layout fragments every block into 19
+        # strided transfers, which measured at only ~38% of HBM peak —
+        # experiments/lbm3d-perf/breakdown.csv). In-kernel compute stays
+        # q-major via one VMEM transpose each way per pass.
+        state = jnp.transpose(
+            jnp.concatenate([prev_ref[:], f_ref[:], next_ref[:]], axis=0),
+            (1, 0, 2, 3),
+        ).astype(dt)
+    else:
+        state = jnp.concatenate(
+            [prev_ref[:], f_ref[:], next_ref[:]], axis=1
+        ).astype(dt)
     if k > 1:
         mask_wide = jnp.concatenate(
             [mprev_ref[1:], mask_ref[:], mnext_ref[: k - 1]], axis=0
@@ -129,12 +140,16 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
         tot_ref[0, j - 1] += jnp.sum(
             jnp.where(valid, interior, jnp.zeros((), dt)))
 
-    out_ref[:] = state.astype(out_ref.dtype)
+    if layout == "zmajor":
+        out_ref[:] = jnp.transpose(state, (1, 0, 2, 3)).astype(out_ref.dtype)
+    else:
+        out_ref[:] = state.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
-                accel_plane, interpret, vmem_limit=None, mode="full"):
+                accel_plane, interpret, vmem_limit=None, mode="full",
+                layout="qmajor"):
     nz, ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if nz % bz:
@@ -145,23 +160,43 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
 
     kernel = functools.partial(
         _kernel, bz=bz, k_steps=k_steps, omega=omega, density=density,
-        accel=accel, accel_plane=accel_plane, mode=mode,
+        accel=accel, accel_plane=accel_plane, mode=mode, layout=layout,
     )
     k = k_steps
+    if layout == "zmajor":
+        # (nz, 19, ny, nx): slab + halo blocks are single contiguous runs
+        f_spec = pl.BlockSpec((bz, 19, ny, nx), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        prev_spec = pl.BlockSpec(
+            (k, 19, ny, nx), lambda i: (_prev_idx(i, bz, k, nz), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        next_spec = pl.BlockSpec(
+            (k, 19, ny, nx), lambda i: (_next_idx(i, bz, k, nz), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bz, 19, ny, nx), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_state = jax.ShapeDtypeStruct((nz, 19, ny, nx), dtype)
+    else:
+        f_spec = pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        # K z-planes ENDING at plane i*bz - 1 (periodic)
+        prev_spec = pl.BlockSpec(
+            (19, k, ny, nx), lambda i: (0, _prev_idx(i, bz, k, nz), 0, 0),
+            memory_space=pltpu.VMEM)
+        next_spec = pl.BlockSpec(
+            (19, k, ny, nx), lambda i: (0, _next_idx(i, bz, k, nz), 0, 0),
+            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_state = jax.ShapeDtypeStruct((19, nz, ny, nx), dtype)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # K z-planes ENDING at plane i*bz - 1 (periodic)
-            pl.BlockSpec((19, k, ny, nx),
-                         lambda i: (0, _prev_idx(i, bz, k, nz), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((19, k, ny, nx),
-                         lambda i: (0, _next_idx(i, bz, k, nz), 0, 0),
-                         memory_space=pltpu.VMEM),
+            f_spec,
+            prev_spec,
+            next_spec,
             pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, ny, nx), lambda i: (_prev_idx(i, bz, k, nz), 0, 0),
@@ -170,12 +205,11 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            out_spec,
             pl.BlockSpec((1, k_steps), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((19, nz, ny, nx), dtype),
+            out_state,
             jax.ShapeDtypeStruct((1, k_steps), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -207,6 +241,7 @@ def stepk(
     interpret: bool | None = None,
     vmem_limit: int | None = None,
     mode: str = "full",
+    layout: str = "qmajor",
     plane_offset: jax.Array | int = 0,
     valid_planes: tuple | None = None,
     global_nz: int | None = None,
@@ -214,11 +249,18 @@ def stepk(
     """K fused 3-D timesteps. mask_f: (nz, ny, nx) {0,1}. Returns
     (f_after_K, tot_u per step (K,) f32).
 
+    layout='qmajor' takes f as (19, nz, ny, nx); layout='zmajor' takes
+    (nz, 19, ny, nx), whose slab blocks are single contiguous DMAs (the
+    faster layout on TPU — see experiments/lbm3d-perf).
+
     plane_offset / valid_planes / global_nz support ghost-extended z-shard
     blocks (parallel/pallas_sharded_3d.py): local plane p is global plane
     p + plane_offset (accel labels taken mod global_nz), and only local
     planes in [valid_planes) contribute to the Sum|u|."""
-    _, nz, ny, nx = f.shape
+    if layout == "zmajor":
+        nz, _, ny, nx = f.shape
+    else:
+        _, nz, ny, nx = f.shape
     if bz is None:
         bz = max(k_steps, 4)
         while nz % bz:
@@ -234,6 +276,7 @@ def stepk(
         float(omega), float(density), float(accel), int(accel_plane),
         bool(interpret),
         None if vmem_limit is None else int(vmem_limit), str(mode),
+        str(layout),
     )
     if valid_planes is None:
         valid_planes = (0, nz)
@@ -250,7 +293,8 @@ def stepk(
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "k_steps", "omega", "density", "accel",
-                     "accel_plane", "bz", "interpret", "vmem_limit"),
+                     "accel_plane", "bz", "interpret", "vmem_limit",
+                     "layout"),
 )
 def run(
     f: jax.Array,
@@ -265,17 +309,25 @@ def run(
     bz: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
+    layout: str = "qmajor",
 ):
+    """Callers always pass q-major (19, nz, ny, nx); layout='zmajor'
+    transposes once at entry/exit of the scan and runs the
+    contiguous-slab-DMA kernel inside."""
     if num_steps % k_steps:
         raise ValueError("num_steps must be a multiple of k_steps")
+    if layout == "zmajor":
+        f = jnp.transpose(f, (1, 0, 2, 3))
 
     def body(carry, _):
         f_new, tots = stepk(
             carry, mask_f, k_steps=k_steps, omega=omega, density=density,
             accel=accel, accel_plane=accel_plane, bz=bz, interpret=interpret,
-            vmem_limit=vmem_limit,
+            vmem_limit=vmem_limit, layout=layout,
         )
         return f_new, tots
 
     f_final, tots = jax.lax.scan(body, f, None, length=num_steps // k_steps)
+    if layout == "zmajor":
+        f_final = jnp.transpose(f_final, (1, 0, 2, 3))
     return f_final, tots.reshape(num_steps)

@@ -96,3 +96,23 @@ def test_random_3d_config_parity(seed):
         np.asarray(f_pl), np.asarray(f_ref), rtol=2e-4, atol=1e-6,
         err_msg=f"nz={nz} ny={ny} bz={bz} k={k} steps={steps}",
     )
+
+
+def test_zmajor_layout_matches_qmajor():
+    """The contiguous-DMA z-major layout computes identical physics (the
+    public API stays q-major; transposes happen at the scan boundary)."""
+    import jax.numpy as jnp
+
+    nz, ny, nx = 8, 16, 128
+    f = jnp.asarray(d3q19.initial_distributions(nz, ny, nx, 0.1, np.float32))
+    mask = np.zeros((nz, ny, nx), bool)
+    mask[0] = True
+    mask[-1] = True
+    mask_f = jnp.asarray(mask).astype(f.dtype)
+    kw = dict(num_steps=4, k_steps=2, omega=1.85, density=0.1, accel=0.005,
+              accel_plane=nz - 2, bz=2)
+    f_q, t_q = d3q19_pallas.run(f, mask_f, **kw)
+    f_z, t_z = d3q19_pallas.run(f, mask_f, layout="zmajor", **kw)
+    np.testing.assert_allclose(np.asarray(f_z), np.asarray(f_q),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(t_z), np.asarray(t_q), rtol=1e-6)
