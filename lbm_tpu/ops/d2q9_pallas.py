@@ -80,7 +80,10 @@ def choose_band(h: int, w: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             mnext_ref, out_ref, tot_ref, *, band: int, k_steps: int,
             omega: float, accel_w1: float, accel_w2: float, accel_row: int,
-            shared_reciprocal: bool = False):
+            shared_reciprocal: bool = False, mode: str = "full"):
+    # mode is DIAGNOSTIC ONLY (experiments/d2q9-breakdown): 'stream_only'
+    # skips the BGK collision, 'copy' skips everything — used to attribute
+    # kernel time between memory movement and arithmetic.
     """K fused timesteps on one band. See module docstring for the scheme.
 
     scal_ref (SMEM int32 (1,6)) holds (row_offset, valid_lo, valid_hi,
@@ -151,6 +154,11 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
     valid_cells = ((band_rows >= valid_lo) & (band_rows < valid_hi)
                    & (cols >= col_lo) & (cols < col_hi))
 
+    if mode == "copy":
+        out_ref[:] = f_ref[:]
+        tot_ref[0, 0] += jnp.sum(f_ref[0, :1, :128].astype(dt))
+        return
+
     for j in range(1, k + 1):
         n_rows = band + 2 * (k - j)  # rows of this step's output region
         lo = (k - 1) - (k - j)  # offset of the region within mask_wide
@@ -161,11 +169,15 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
         # mod global_ny: overlap/ghost rows are wrapped copies and must see
         # the same force as the rows they duplicate
         amask_j = (jnp.mod(rows_j, global_ny) == accel_row).astype(dt)
-        state, u = d2q9.collide_fields(
-            streamed(state, n_rows), mask_j, amask_j,
-            omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
-            shared_reciprocal=shared_reciprocal,
-        )
+        if mode == "stream_only":
+            state = jnp.stack(streamed(state, n_rows))
+            u = state[0]
+        else:
+            state, u = d2q9.collide_fields(
+                streamed(state, n_rows), mask_j, amask_j,
+                omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
+                shared_reciprocal=shared_reciprocal,
+            )
         # Sum|u| over this band's own valid B rows only (overlap rows belong
         # to the neighbouring bands; ghost rows duplicate other shards).
         interior = u[k - j : k - j + band, :]
@@ -179,7 +191,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 @functools.lru_cache(maxsize=64)
 def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
                 accel_row, interpret, vmem_limit=None,
-                shared_reciprocal=False):
+                shared_reciprocal=False, mode="full"):
     ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if ny % band or band % 8:
@@ -195,7 +207,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
     kernel = functools.partial(
         _kernel, band=band, k_steps=k_steps, omega=omega,
         accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
-        shared_reciprocal=shared_reciprocal,
+        shared_reciprocal=shared_reciprocal, mode=mode,
     )
     return pl.pallas_call(
         kernel,
@@ -255,6 +267,7 @@ def stepk(
     global_ny: int | None = None,
     vmem_limit: int | None = None,
     shared_reciprocal: bool = False,
+    mode: str = "full",
 ):
     """K fused timesteps in one HBM pass. `mask_f` is the obstacle mask as
     {0,1} in f.dtype. Returns (f_after_K_steps, tot_u per step (K,)).
@@ -277,7 +290,7 @@ def stepk(
         (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
         None if vmem_limit is None else int(vmem_limit),
-        bool(shared_reciprocal),
+        bool(shared_reciprocal), str(mode),
     )
     scal = jnp.stack(
         [jnp.asarray(row_offset, jnp.int32),

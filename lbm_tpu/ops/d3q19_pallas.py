@@ -38,7 +38,8 @@ def default_vmem_limit(bz: int, ny: int, nx: int, k: int) -> int:
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             mnext_ref, out_ref, tot_ref, *, bz: int, k_steps: int,
             omega: float, density: float, accel: float, accel_plane: int,
-            mode: str = "full", layout: str = "qmajor"):
+            mode: str = "full", layout: str = "qmajor",
+            grid_ny: int | None = None):
     # mode is DIAGNOSTIC ONLY (experiments/lbm3d-perf): 'stream_only' skips
     # the BGK collision, 'collide_no_roll' skips the (y,x) rolls — used to
     # attribute kernel time between memory movement, rolls and arithmetic.
@@ -50,7 +51,8 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
     valid_hi = scal_ref[0, 3]    # ghost duplicates: excluded from Sum|u|
     k = k_steps
     dt = jnp.float32 if f_ref.dtype == jnp.bfloat16 else f_ref.dtype
-    ny = f_ref.shape[-2]
+    # fused layout's refs are rank-3 (19, bz*ny, nx): ny comes in statically
+    ny = grid_ny if layout == "fused" else f_ref.shape[-2]
     nx = f_ref.shape[-1]
 
     def roll_y(x, d):
@@ -84,28 +86,43 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             for j in range(k):
                 tot_ref[0, j] = jnp.zeros((), jnp.float32)
 
-        tot_ref[0, 0] += jnp.sum(f_ref[0, 0, :1, :128].astype(jnp.float32))
+        tot_ref[0, 0] += jnp.sum(f_ref[0, :1, :1].astype(jnp.float32))
         return
     if layout == "zmajor":
         # z-major HBM layout (nz, 19, ny, nx): each slab block is ONE
-        # contiguous DMA (the q-major layout fragments every block into 19
-        # strided transfers, which measured at only ~38% of HBM peak —
-        # experiments/lbm3d-perf/breakdown.csv). In-kernel compute stays
-        # q-major via one VMEM transpose each way per pass.
+        # contiguous DMA. Measured identical to q-major (TUNING.md) — kept
+        # as the documented negative result.
         state = jnp.transpose(
             jnp.concatenate([prev_ref[:], f_ref[:], next_ref[:]], axis=0),
             (1, 0, 2, 3),
+        ).astype(dt)
+    elif layout == "fused":
+        # fused-(z,y) layout: HBM array is (19, nz*ny, nx) so every block is
+        # RANK-3 — the same block rank as the 2-D kernel, whose DMA pattern
+        # reaches full duplex HBM bandwidth (experiments/d2q9-breakdown)
+        # where the rank-4 3-D blocks measured only ~38% of peak. The
+        # reshape back to 4-D is a free leading-dim split in VMEM.
+        state = jnp.concatenate(
+            [prev_ref[:].reshape(19, k, ny, nx),
+             f_ref[:].reshape(19, bz, ny, nx),
+             next_ref[:].reshape(19, k, ny, nx)], axis=1
         ).astype(dt)
     else:
         state = jnp.concatenate(
             [prev_ref[:], f_ref[:], next_ref[:]], axis=1
         ).astype(dt)
+    if layout == "fused":
+        mask_full = mask_ref[:].reshape(bz, ny, nx)
+        mask_prev = mprev_ref[:].reshape(k, ny, nx)
+        mask_next = mnext_ref[:].reshape(k, ny, nx)
+    else:
+        mask_full, mask_prev, mask_next = mask_ref[:], mprev_ref[:], mnext_ref[:]
     if k > 1:
         mask_wide = jnp.concatenate(
-            [mprev_ref[1:], mask_ref[:], mnext_ref[: k - 1]], axis=0
+            [mask_prev[1:], mask_full, mask_next[: k - 1]], axis=0
         )
     else:
-        mask_wide = mask_ref[:]
+        mask_wide = mask_full
 
     @pl.when(i == 0)
     def _():
@@ -142,6 +159,8 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 
     if layout == "zmajor":
         out_ref[:] = jnp.transpose(state, (1, 0, 2, 3)).astype(out_ref.dtype)
+    elif layout == "fused":
+        out_ref[:] = state.reshape(19, bz * ny, nx).astype(out_ref.dtype)
     else:
         out_ref[:] = state.astype(out_ref.dtype)
 
@@ -161,9 +180,23 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
     kernel = functools.partial(
         _kernel, bz=bz, k_steps=k_steps, omega=omega, density=density,
         accel=accel, accel_plane=accel_plane, mode=mode, layout=layout,
+        grid_ny=ny,
     )
     k = k_steps
-    if layout == "zmajor":
+    if layout == "fused":
+        # (19, nz*ny, nx): rank-3 blocks, identical bytes to q-major
+        f_spec = pl.BlockSpec((19, bz * ny, nx), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        prev_spec = pl.BlockSpec(
+            (19, k * ny, nx), lambda i: (0, _prev_idx(i, bz, k, nz), 0),
+            memory_space=pltpu.VMEM)
+        next_spec = pl.BlockSpec(
+            (19, k * ny, nx), lambda i: (0, _next_idx(i, bz, k, nz), 0),
+            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((19, bz * ny, nx), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_state = jax.ShapeDtypeStruct((19, nz * ny, nx), dtype)
+    elif layout == "zmajor":
         # (nz, 19, ny, nx): slab + halo blocks are single contiguous runs
         f_spec = pl.BlockSpec((bz, 19, ny, nx), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -189,6 +222,24 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
         out_spec = pl.BlockSpec((19, bz, ny, nx), lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_state = jax.ShapeDtypeStruct((19, nz, ny, nx), dtype)
+    if layout == "fused":
+        mask_spec = pl.BlockSpec((bz * ny, nx), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        mprev_spec = pl.BlockSpec(
+            (k * ny, nx), lambda i: (_prev_idx(i, bz, k, nz), 0),
+            memory_space=pltpu.VMEM)
+        mnext_spec = pl.BlockSpec(
+            (k * ny, nx), lambda i: (_next_idx(i, bz, k, nz), 0),
+            memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        mprev_spec = pl.BlockSpec(
+            (k, ny, nx), lambda i: (_prev_idx(i, bz, k, nz), 0, 0),
+            memory_space=pltpu.VMEM)
+        mnext_spec = pl.BlockSpec(
+            (k, ny, nx), lambda i: (_next_idx(i, bz, k, nz), 0, 0),
+            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -197,12 +248,9 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
             f_spec,
             prev_spec,
             next_spec,
-            pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, ny, nx), lambda i: (_prev_idx(i, bz, k, nz), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, ny, nx), lambda i: (_next_idx(i, bz, k, nz), 0, 0),
-                         memory_space=pltpu.VMEM),
+            mask_spec,
+            mprev_spec,
+            mnext_spec,
         ],
         out_specs=[
             out_spec,
@@ -238,6 +286,7 @@ def stepk(
     accel: float,
     accel_plane: int,
     bz: int | None = None,
+    by: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
     mode: str = "full",
@@ -286,6 +335,25 @@ def stepk(
          jnp.asarray(valid_planes[0], jnp.int32),
          jnp.asarray(valid_planes[1], jnp.int32)]
     ).reshape(1, 4)
+    if by is not None:
+        # (z, y)-blocked kernel: small blocks pipeline at ~2x the bandwidth
+        # of z-slabs and leave VMEM headroom for K=4 (see module comment)
+        call = _build_blocked(
+            (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(by),
+            int(k_steps), float(omega), float(density), float(accel),
+            int(accel_plane), bool(interpret),
+            None if vmem_limit is None else int(vmem_limit),
+        )
+        m = mask_f
+        f_new, tots = call(scal, f, f, f, f, f, f, f, f, f,
+                           m, m, m, m, m, m, m, m, m)
+        return f_new, tots[0]
+    if layout == "fused":
+        # same bytes, rank-3 view: free reshapes at the HBM boundary
+        f_c = f.reshape(19, nz * ny, nx)
+        m_c = mask_f.reshape(nz * ny, nx)
+        f_new, tots = call(scal, f_c, f_c, f_c, m_c, m_c, m_c)
+        return f_new.reshape(19, nz, ny, nx), tots[0]
     f_new, tots = call(scal, f, f, f, mask_f, mask_f, mask_f)
     return f_new, tots[0]
 
@@ -293,7 +361,7 @@ def stepk(
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "k_steps", "omega", "density", "accel",
-                     "accel_plane", "bz", "interpret", "vmem_limit",
+                     "accel_plane", "bz", "by", "interpret", "vmem_limit",
                      "layout"),
 )
 def run(
@@ -307,6 +375,7 @@ def run(
     accel: float,
     accel_plane: int,
     bz: int | None = None,
+    by: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
     layout: str = "qmajor",
@@ -322,8 +391,8 @@ def run(
     def body(carry, _):
         f_new, tots = stepk(
             carry, mask_f, k_steps=k_steps, omega=omega, density=density,
-            accel=accel, accel_plane=accel_plane, bz=bz, interpret=interpret,
-            vmem_limit=vmem_limit, layout=layout,
+            accel=accel, accel_plane=accel_plane, bz=bz, by=by,
+            interpret=interpret, vmem_limit=vmem_limit, layout=layout,
         )
         return f_new, tots
 
@@ -331,3 +400,171 @@ def run(
     if layout == "zmajor":
         f_final = jnp.transpose(f_final, (1, 0, 2, 3))
     return f_final, tots.reshape(num_steps)
+
+
+# ---------------------------------------------------------------------------
+# (z, y)-blocked kernel: small blocks, 2-D grid, 9-block halo stitching.
+#
+# Measured motivation (experiments/lbm3d-perf, d2q9-breakdown): the z-slab
+# kernel is DMA-bound at ~300 GB/s regardless of layout/rank/arithmetic,
+# while the same data volume moved as MANY SMALL rank-3 blocks (the 2-D
+# kernel's regime) reaches 600-850 GB/s. Blocking y as well shrinks blocks
+# ~8x into that regime AND frees VMEM for K=4 temporal blocking.
+# ---------------------------------------------------------------------------
+
+
+def _blocked_kernel(scal_ref, f_ref, zp_ref, zn_ref, yp_ref, yn_ref,
+                    czpyp_ref, czpyn_ref, cznyp_ref, cznyn_ref,
+                    m_ref, mzp_ref, mzn_ref, myp_ref, myn_ref,
+                    mczpyp_ref, mczpyn_ref, mcznyp_ref, mcznyn_ref,
+                    out_ref, tot_ref, *, bz: int, by: int, k_steps: int,
+                    omega: float, density: float, accel: float,
+                    accel_plane: int):
+    iz = pl.program_id(0)
+    iy = pl.program_id(1)
+    global_nz = scal_ref[0, 0]
+    plane_off = scal_ref[0, 1]
+    valid_lo = scal_ref[0, 2]
+    valid_hi = scal_ref[0, 3]
+    k = k_steps
+    dt = jnp.float32 if f_ref.dtype == jnp.bfloat16 else f_ref.dtype
+    nx = f_ref.shape[-1]
+
+    def roll_x(x, d):
+        return pltpu.roll(x, d % nx, axis=x.ndim - 1)
+
+    def y_ext(center, ypb, ynb, width):
+        # center (19|1, Z, Y, nx) + 8-row y-halo blocks -> Y + 2*width rows
+        return jnp.concatenate(
+            [ypb[..., 8 - width : 8, :], center, ynb[..., 0:width, :]],
+            axis=-2)
+
+    # assemble the (19, bz+2k, by+2k, nx) ghost-extended state
+    center = y_ext(f_ref[:], yp_ref[:], yn_ref[:], k)
+    zprev = y_ext(zp_ref[:], czpyp_ref[:], czpyn_ref[:], k)
+    znext = y_ext(zn_ref[:], cznyp_ref[:], cznyn_ref[:], k)
+    state = jnp.concatenate([zprev, center, znext], axis=1).astype(dt)
+
+    if k > 1:
+        m_center = y_ext(m_ref[:], myp_ref[:], myn_ref[:], k - 1)
+        m_zprev = y_ext(mzp_ref[:], mczpyp_ref[:], mczpyn_ref[:], k - 1)
+        m_znext = y_ext(mzn_ref[:], mcznyp_ref[:], mcznyn_ref[:], k - 1)
+        # z-extent of mask_wide is bz + 2(k-1): the LAST k-1 planes of
+        # m_zprev and the FIRST k-1 of m_znext
+        mask_wide = jnp.concatenate(
+            [m_zprev[1:], m_center, m_znext[: k - 1]], axis=0)
+    else:
+        mask_wide = m_ref[:]
+
+    @pl.when(jnp.logical_and(iz == 0, iy == 0))
+    def _():
+        for j in range(k):
+            tot_ref[0, j] = jnp.zeros((), jnp.float32)
+
+    def streamed(ext, n_z, n_y):
+        out = []
+        for q in range(d3q19.NUM_SPEEDS):
+            dz, dy, dx = (int(v) for v in d3q19.E[q])
+            x = ext[q, 1 - dz : 1 - dz + n_z, 1 - dy : 1 - dy + n_y, :]
+            if dx:
+                x = roll_x(x, dx)
+            out.append(x)
+        return out
+
+    for j in range(1, k + 1):
+        n_z = bz + 2 * (k - j)
+        n_y = by + 2 * (k - j)
+        lo = (k - 1) - (k - j)
+        mask_j = mask_wide[lo : lo + n_z, lo : lo + n_y, :] != 0
+        planes_j = (iz * bz - (k - j) + plane_off) + jax.lax.broadcasted_iota(
+            jnp.int32, (n_z, 1, 1), 0)
+        amask_j = (jnp.mod(planes_j, global_nz) == accel_plane).astype(dt)
+        state_list, u = d3q19.collide_fields(
+            streamed(state, n_z, n_y), mask_j, amask_j,
+            omega=omega, density=density, accel=accel)
+        state = state_list
+        interior = u[k - j : k - j + bz, k - j : k - j + by]
+        band_planes = iz * bz + jax.lax.broadcasted_iota(
+            jnp.int32, (bz, 1, 1), 0)
+        valid = (band_planes >= valid_lo) & (band_planes < valid_hi)
+        tot_ref[0, j - 1] += jnp.sum(
+            jnp.where(valid, interior, jnp.zeros((), dt)))
+
+    out_ref[:] = state.astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_blocked(shape, dtype_name, bz, by, k_steps, omega, density,
+                   accel, accel_plane, interpret, vmem_limit=None):
+    nz, ny, nx = shape
+    dtype = jnp.dtype(dtype_name)
+    if nz % bz or ny % by or by % 8:
+        raise ValueError(f"bz {bz} must divide nz {nz}; by {by} must divide "
+                         f"ny {ny} and be a multiple of 8")
+    if not 1 <= k_steps <= MAX_K:
+        raise ValueError(f"k_steps must be in 1..{MAX_K}")
+    k = k_steps
+    gz, gy = nz // bz, ny // by
+    yb8 = by // 8
+    nyb8 = ny // 8
+
+    def ym(iy, d):  # 8-row y-halo block index (periodic)
+        return (iy * yb8 - 1) % nyb8 if d < 0 else (iy * yb8 + yb8) % nyb8
+
+    kernel = functools.partial(
+        _blocked_kernel, bz=bz, by=by, k_steps=k, omega=omega,
+        density=density, accel=accel, accel_plane=accel_plane)
+
+    def S(zdim, ydim, zmap, ymap, lead=True):
+        if lead:
+            return pl.BlockSpec(
+                (19, zdim, ydim, nx),
+                lambda iz, iy, zm=zmap, yw=ymap: (0, zm(iz), yw(iy), 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (zdim, ydim, nx),
+            lambda iz, iy, zm=zmap, yw=ymap: (zm(iz), yw(iy), 0),
+            memory_space=pltpu.VMEM)
+
+    zc = lambda iz: iz
+    zp = lambda iz: _prev_idx(iz, bz, k, nz)
+    zn = lambda iz: _next_idx(iz, bz, k, nz)
+    yc = lambda iy: iy
+    yp = lambda iy: ym(iy, -1)
+    yn = lambda iy: ym(iy, +1)
+
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda iz, iy: (0, 0), memory_space=pltpu.SMEM),
+        S(bz, by, zc, yc), S(k, by, zp, yc), S(k, by, zn, yc),
+        S(bz, 8, zc, yp), S(bz, 8, zc, yn),
+        S(k, 8, zp, yp), S(k, 8, zp, yn), S(k, 8, zn, yp), S(k, 8, zn, yn),
+        S(bz, by, zc, yc, lead=False), S(k, by, zp, yc, lead=False),
+        S(k, by, zn, yc, lead=False),
+        S(bz, 8, zc, yp, lead=False), S(bz, 8, zc, yn, lead=False),
+        S(k, 8, zp, yp, lead=False), S(k, 8, zp, yn, lead=False),
+        S(k, 8, zn, yp, lead=False), S(k, 8, zn, yn, lead=False),
+    ]
+    # operand blocks (f center+out, z/y halos, corners, mask variants),
+    # double-buffered, plus ~3 live copies of the ghost-extended state
+    blk = (2 * bz * by + 2 * k * by + 2 * bz * 8 + 4 * k * 8) * nx * 4
+    operands = blk * 19 + blk  # state blocks + mask blocks
+    scratch = 19 * (bz + 2 * k) * (by + 2 * k) * nx * 4 * 3
+    return pl.pallas_call(
+        kernel,
+        grid=(gz, gy),
+        in_specs=in_specs,
+        out_specs=[
+            S(bz, by, zc, yc),
+            pl.BlockSpec((1, k), lambda iz, iy: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((19, nz, ny, nx), dtype),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit or min(
+                120 * 1024 * 1024, int((operands * 2 + scratch) * 1.35)),
+        ),
+        interpret=interpret,
+    )

@@ -116,3 +116,29 @@ def test_zmajor_layout_matches_qmajor():
     np.testing.assert_allclose(np.asarray(f_z), np.asarray(f_q),
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(t_z), np.asarray(t_q), rtol=1e-6)
+
+
+@pytest.mark.parametrize("cfg", [
+    (8, 16, 128, 2, 8, 2),
+    (8, 32, 128, 4, 16, 4),
+    (8, 16, 128, 4, 8, 1),
+])
+def test_blocked_zy_kernel_matches_slab(cfg):
+    """The (z,y)-blocked kernel (small-block DMA regime) computes the same
+    physics as the z-slab kernel; Sum|u| partials may differ by reduction
+    order only."""
+    import jax.numpy as jnp
+
+    nz, ny, nx, bz, by, k = cfg
+    f = jnp.asarray(d3q19.initial_distributions(nz, ny, nx, 0.1, np.float32))
+    mask = np.zeros((nz, ny, nx), bool)
+    mask[0] = True
+    mask[-1] = True
+    mask_f = jnp.asarray(mask).astype(f.dtype)
+    kw = dict(num_steps=2 * k, k_steps=k, omega=1.85, density=0.1,
+              accel=0.005, accel_plane=nz - 2)
+    f_q, t_q = d3q19_pallas.run(f, mask_f, bz=bz, **kw)
+    f_b, t_b = d3q19_pallas.run(f, mask_f, bz=bz, by=by, **kw)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_q),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_q), rtol=1e-4)
