@@ -167,6 +167,45 @@ def collide(
     return f_new, jnp.sum(u_plane)
 
 
+def equilibrium(rho: jax.Array, u_x: jax.Array, u_y: jax.Array) -> jax.Array:
+    """Maxwell-Boltzmann equilibrium distributions at (rho, u).
+
+    feq_k = w_k rho (1 + 3 e_k.u + 4.5 (e_k.u)^2 - 1.5 u^2), written in the
+    same rearranged `(4.5 eu)(2/3 + eu) + c_sq` grouping as `collide_fields`
+    so an equilibrium state is an exact fixed point of the collision operator
+    (modulo floating point). Used to initialise simulations from macroscopic
+    fields (e.g. the analytic flows in tests/test_physics.py); the reference
+    only ever initialises at rest (main/LastChance.cpp:428-450), where this
+    reduces to `state.initial_distributions`.
+
+    Inputs broadcast together to the grid shape; returns (9, ny, nx).
+    """
+    u_sq = u_x * u_x + u_y * u_y
+    c_sq = 1.0 - u_sq * 1.5
+    u_s = u_x + u_y
+    u_d = -u_x + u_y
+    w0 = 4.0 / 9.0 * rho
+    w1 = rho / 9.0
+    w2 = rho / 36.0
+
+    def term(eu):
+        return (4.5 * eu) * (2.0 / 3.0 + eu) + c_sq
+
+    return jnp.stack(
+        [
+            w0 * c_sq,
+            w1 * term(u_x),
+            w1 * term(u_y),
+            w1 * term(-u_x),
+            w1 * term(-u_y),
+            w2 * term(u_s),
+            w2 * term(u_d),
+            w2 * term(-u_s),
+            w2 * term(-u_d),
+        ]
+    )
+
+
 def accel_row_mask(ny: int, nx: int, accel_row: int, dtype=jnp.float32) -> jax.Array:
     """{0,1} column mask selecting the accelerated row (broadcasts over nx)."""
     rows = jnp.arange(ny, dtype=jnp.int32)

@@ -44,6 +44,32 @@ def initial_distributions(nz: int, ny: int, nx: int, density: float = 0.1,
     return f
 
 
+def equilibrium(rho, u_x, u_y, u_z) -> jax.Array:
+    """Maxwell-Boltzmann equilibrium at (rho, u) on the D3Q19 lattice.
+
+    Same rearranged grouping as `collide_fields` (so equilibrium is an exact
+    collision fixed point modulo floating point). Inputs broadcast to the
+    grid shape; returns (19, nz, ny, nx). Counterpart of d2q9.equilibrium.
+    """
+    u_sq = u_x * u_x + u_y * u_y + u_z * u_z
+    c_sq = 1.0 - u_sq * 1.5
+    outs = []
+    for k in range(NUM_SPEEDS):
+        wk = float(W[k])
+        if not E[k].any():
+            outs.append(wk * rho * c_sq)
+            continue
+        eu = 0.0
+        if E[k, 2]:
+            eu = eu + int(E[k, 2]) * u_x
+        if E[k, 1]:
+            eu = eu + int(E[k, 1]) * u_y
+        if E[k, 0]:
+            eu = eu + int(E[k, 0]) * u_z
+        outs.append(wk * rho * ((4.5 * eu) * (2.0 / 3.0 + eu) + c_sq))
+    return jnp.stack(outs)
+
+
 def stream_pull(f: jax.Array) -> list[jax.Array]:
     """Periodic pull: speed k at x comes from x - e_k."""
     return [
