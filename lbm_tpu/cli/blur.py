@@ -35,6 +35,11 @@ def main(argv=None) -> int:
                              "(the reference's --min-rows-per-tile analogue, "
                              "GaussianBlurLowLevel.cpp:51-54; default: "
                              "measured heuristic)")
+    parser.add_argument("--k-passes", type=int, default=None,
+                        help="--engine pallas: fuse this many blur passes "
+                             "per HBM sweep (temporal blocking, <=8; must "
+                             "divide 2*num_iters) — for images too large "
+                             "for the resident engine")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     parser.add_argument("--blur-alpha", action="store_true")
     parser.add_argument("--compile-only", action="store_true",
@@ -88,6 +93,7 @@ def main(argv=None) -> int:
         args.image, args.output, num_iters=args.num_iters,
         engine=args.engine, dtype=dtype, blur_alpha=args.blur_alpha,
         num_devices=args.num_devices, band=args.band,
+        k_passes=args.k_passes,
     )
     print(f"{args.num_iters}(x2) iterations took {seconds:.6f}s "
           f"({seconds * 1e6:.0f} us)")

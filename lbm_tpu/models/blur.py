@@ -23,6 +23,7 @@ def blur_image(
     blur_alpha: bool = False,
     num_devices: int | None = None,
     band: int | None = None,
+    k_passes: int | None = None,
 ) -> tuple[np.ndarray, float]:
     """Normalise, pad, run num_iters x2 blur passes, denormalise.
     Returns (blurred RGBA uint8, compute_seconds). By default the alpha
@@ -52,12 +53,12 @@ def blur_image(
         engine = "conv"
 
     out = stencil.blur_many(x, inter, num_iters=num_iters,
-                            engine=engine, band=band)
+                            engine=engine, band=band, k_passes=k_passes)
     np.asarray(out)  # materialize: warm-up/compile
 
     t0 = time.perf_counter()
     out = stencil.blur_many(x, inter, num_iters=num_iters,
-                            engine=engine, band=band)
+                            engine=engine, band=band, k_passes=k_passes)
     out_np = np.asarray(out, dtype=np.float32)
     compute_seconds = time.perf_counter() - t0
 

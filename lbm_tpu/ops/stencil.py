@@ -133,6 +133,98 @@ def _choose_band(h: int) -> int:
     raise ValueError(f"height {h} not a multiple of 8")
 
 
+MAX_PASSES_PER_SWEEP = 8  # halo blocks are 8 rows -> k <= 8
+
+
+def _blur_kernel_k(img_ref, prev_ref, next_ref, int_ref, iprev_ref,
+                   inext_ref, out_ref, *, band: int, k: int):
+    """K blur passes on one row band per HBM sweep — temporal blocking, the
+    blur analogue of the LBM K-step kernel (d2q9_pallas._kernel): a sweep
+    reads band+16 rows and writes band rows, so HBM traffic per pass falls
+    as 1/K. Intermediate images live only in VMEM; the interior mask is
+    applied at every intermediate pass over every computed row, so the zero
+    pad ring keeps isolating the image from periodic wraparound exactly as
+    in the single-pass kernel. Adjacent bands recompute their 2(K-j) overlap
+    rows identically, so the result is band-decomposition-independent."""
+    # x: rows i*B-K .. i*B+B+K-1 (band + 2K rows), f32 compute
+    x = jnp.concatenate(
+        [prev_ref[:, 8 - k:, :], img_ref[:], next_ref[:, :k, :]], axis=1
+    ).astype(jnp.float32)
+    # interior mask over the widest computed region: band + 2(K-1) rows
+    if k > 1:
+        m_wide = jnp.concatenate(
+            [iprev_ref[8 - (k - 1):, :], int_ref[:], inext_ref[: k - 1, :]],
+            axis=0,
+        ).astype(jnp.float32)
+    else:
+        m_wide = int_ref[:].astype(jnp.float32)
+
+    w = img_ref.shape[-1]
+
+    def shift(r, d):  # periodic column shift: out[i] = r[i-d], either sign
+        return jnp.concatenate([r[:, :, -d:], r[:, :, :-d]], axis=2)
+
+    for j in range(1, k + 1):
+        n_rows = band + 2 * (k - j)
+        rows = x[:, :n_rows, :] + 2.0 * x[:, 1:n_rows + 1, :] + x[:, 2:n_rows + 2, :]
+        acc = shift(rows, -1) + 2.0 * rows + shift(rows, 1)
+        lo = j - 1  # offset of this pass's region within m_wide
+        x = acc * (1.0 / 16.0) * m_wide[None, lo:lo + n_rows, :]
+    out_ref[:] = x.astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pallas_blur_k(c, h, w, dtype_name, band, k, interpret):
+    dtype = jnp.dtype(dtype_name)
+    if h % band or band % 8 or h % 8:
+        raise ValueError(f"bad band {band} for height {h}")
+    if not 1 <= k <= MAX_PASSES_PER_SWEEP:
+        raise ValueError(f"k_passes must be in 1..{MAX_PASSES_PER_SWEEP}")
+    if k > 1 and h < 16:
+        raise ValueError("k_passes > 1 needs at least two 8-row blocks")
+    grid = h // band
+    nblk8 = h // 8
+    bb8 = band // 8
+    return pl.pallas_call(
+        functools.partial(_blur_kernel_k, band=band, k=k),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((c, band, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 8, w), lambda i: (0, (i * bb8 - 1) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 8, w), lambda i: (0, (i * bb8 + bb8) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, w), lambda i: ((i * bb8 - 1) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, w), lambda i: ((i * bb8 + bb8) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, band, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def blur_k_pallas(img: jax.Array, interior: jax.Array, *, k_passes: int,
+                  band: int | None = None,
+                  interpret: bool | None = None) -> jax.Array:
+    """`k_passes` fused blur passes in ONE pass over HBM (k_passes <= 8).
+    For images too large for the resident engine: per-pass HBM traffic
+    falls as 1/K. Semantics identical to k_passes calls of
+    blur_step_pallas."""
+    c, h, w = img.shape
+    if band is None:
+        band = _choose_band(h)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    call = _build_pallas_blur_k(c, h, w, jnp.dtype(img.dtype).name, band,
+                                int(k_passes), bool(interpret))
+    return call(img, img, img, interior, interior, interior)
+
+
 def _resident_kernel(n_ref, img_ref, interior_ref, out_ref, buf):
     """The whole image lives in VMEM for the entire run — one HBM read, one
     HBM write, `n_ref[0]` stencil applications in between. The TPU analogue
@@ -212,15 +304,31 @@ def blur_resident(img: jax.Array, interior: jax.Array, *, num_passes: int,
     return call(jnp.asarray([num_passes], jnp.int32), img, interior)
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "engine", "band"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_iters", "engine", "band", "k_passes"))
 def blur_many(img: jax.Array, interior: jax.Array, *, num_iters: int,
-              engine: str = "conv", band: int | None = None) -> jax.Array:
+              engine: str = "conv", band: int | None = None,
+              k_passes: int | None = None) -> jax.Array:
     """num_iters x2 blur passes (the reference runs pairs:
     GaussianBlurCpu.cpp:77-81, GaussianBlurLowLevel.cpp:211-216).
     engine='resident' executes the whole run inside one VMEM-resident kernel;
-    'conv'/'pallas' scan over per-pass kernels."""
+    'conv'/'pallas' scan over per-pass kernels. k_passes (pallas engine only)
+    fuses that many passes per HBM sweep — temporal blocking for images too
+    large for the resident engine; must divide 2*num_iters."""
     if engine == "resident":
         return blur_resident(img, interior, num_passes=2 * num_iters)
+    if engine == "pallas" and k_passes is not None and k_passes > 1:
+        if (2 * num_iters) % k_passes:
+            raise ValueError(
+                f"k_passes {k_passes} must divide 2*num_iters {2 * num_iters}")
+
+        def body_k(carry, _):
+            return blur_k_pallas(carry, interior, k_passes=k_passes,
+                                 band=band), None
+
+        out, _ = jax.lax.scan(body_k, img, None,
+                              length=2 * num_iters // k_passes)
+        return out
 
     step = {
         "conv": blur_step_conv,

@@ -57,6 +57,49 @@ def test_iterated_blur_matches_numpy(engine):
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("k_passes", [2, 3, 4, 6])
+def test_k_pass_blur_matches_numpy(k_passes):
+    """Temporal-blocked blur (K passes per HBM sweep) == K iterated passes."""
+    padded, interior = make_padded(30, 126)
+    out = np.asarray(
+        stencil.blur_k_pallas(jnp.asarray(padded), jnp.asarray(interior),
+                              k_passes=k_passes)
+    )
+    expected = padded
+    for _ in range(k_passes):
+        expected = np_blur(expected, interior)
+    np.testing.assert_array_equal(out * (1 - interior), 0.0)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_k_pass_blur_many_matches_single_pass_engine():
+    """blur_many(k_passes=4) == blur_many(pallas single-pass), 8 passes."""
+    padded, interior = make_padded(30, 126)
+    x, m = jnp.asarray(padded), jnp.asarray(interior)
+    out_k = np.asarray(stencil.blur_many(x, m, num_iters=4, engine="pallas",
+                                         k_passes=4))
+    out_1 = np.asarray(stencil.blur_many(x, m, num_iters=4, engine="pallas"))
+    np.testing.assert_allclose(out_k, out_1, rtol=1e-5, atol=1e-7)
+
+
+def test_k_pass_blur_band_decomposition_independent():
+    """Different bands give identical results (overlap recomputation)."""
+    padded, interior = make_padded(30, 126)  # padded h = 32
+    x, m = jnp.asarray(padded), jnp.asarray(interior)
+    a = np.asarray(stencil.blur_k_pallas(x, m, k_passes=4, band=8))
+    b = np.asarray(stencil.blur_k_pallas(x, m, k_passes=4, band=16))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_k_pass_rejects_bad_args():
+    padded, interior = make_padded(14, 62)
+    x, m = jnp.asarray(padded), jnp.asarray(interior)
+    with pytest.raises(ValueError, match="k_passes"):
+        stencil.blur_k_pallas(x, m, k_passes=9)
+    with pytest.raises(ValueError, match="divide"):
+        stencil.blur_many(x, m, num_iters=3, engine="pallas", k_passes=4)
+
+
 def test_bfloat16_engine_runs_and_approximates():
     padded, interior = make_padded(14, 62)
     out_bf = np.asarray(
