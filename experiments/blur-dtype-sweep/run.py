@@ -91,7 +91,8 @@ def main():
                 continue
             rgba = img_lib.load_png(path)
             fimg = img_lib.to_float_image(rgba)
-            padded, interior, (h, w) = img_lib.pad_to_tile(fimg.intensities)
+            padded, interior, (h, w) = img_lib.pad_to_tile(
+                fimg.intensities, row_mult=32)  # as models/blur.py
             for engine in ("conv", "pallas", "resident"):
                 for dtype_name, dtype in (("float32", jnp.float32),
                                           ("bfloat16", jnp.bfloat16)):

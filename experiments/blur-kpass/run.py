@@ -31,14 +31,14 @@ profiling.enable_compilation_cache(os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "..", ".jax_cache"))
 
 
-@functools.partial(jax.jit, static_argnames=("n_passes", "k"))
-def run_passes(x, inter, *, n_passes, k):
+@functools.partial(jax.jit, static_argnames=("n_passes", "k", "band"))
+def run_passes(x, inter, *, n_passes, k, band=None):
     if k == 1:
         def body(c, _):
-            return stencil.blur_step_pallas(c, inter), None
+            return stencil.blur_step_pallas(c, inter, band=band), None
     else:
         def body(c, _):
-            return stencil.blur_k_pallas(c, inter, k_passes=k), None
+            return stencil.blur_k_pallas(c, inter, k_passes=k, band=band), None
 
     out, _ = jax.lax.scan(body, x, None, length=n_passes // k)
     return out
@@ -54,20 +54,28 @@ def main():
 
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     platform = jax.devices()[0].platform
-    with open(out_path, "w") as out:
-        out.write("image,platform,dtype,k_passes,us_per_pass,gb_per_s_effective\n")
+    configs = [(1, None), (2, None), (4, None), (8, None),
+               (4, 64), (8, 64)]  # band None = heuristic (32 at this width)
+    if len(sys.argv) > 1:  # e.g. "4:64 8:128" to probe extra configs
+        configs = [(int(a.split(":")[0]),
+                    None if ":" not in a else int(a.split(":")[1]))
+                   for a in sys.argv[1:]]
+    with open(out_path, "a" if len(sys.argv) > 1 else "w") as out:
+        if len(sys.argv) <= 1:
+            out.write("image,platform,dtype,k_passes,band,us_per_pass,"
+                      "gb_per_s_effective\n")
         for dtype_name, dtype in (("float32", jnp.float32),
                                   ("bfloat16", jnp.bfloat16)):
             x = jnp.asarray(img_np, dtype)
             inter = jnp.asarray(interior_np, dtype)
             traffic = 2 * c * hp * wp * x.dtype.itemsize  # r+w per plain pass
-            for k in (1, 2, 4, 8):
+            for k, band in configs:
                 # delta = 300 HBM sweeps (~0.2 s device time at k=1 f32)
                 n_lo, n_hi = 5 * k, 5 * k + 300 * k
 
                 def once(n):
                     t0 = time.perf_counter()
-                    o = run_passes(x, inter, n_passes=n, k=k)
+                    o = run_passes(x, inter, n_passes=n, k=k, band=band)
                     s = float(jnp.sum(o[:, :1, :128].astype(jnp.float32)))
                     return time.perf_counter() - t0, s
 
@@ -80,13 +88,14 @@ def main():
                         deltas.append((b - a) / (n_hi - n_lo))
                     us = float(np.median(deltas)) * 1e6
                 except Exception as e:  # noqa: BLE001
-                    print(f"{dtype_name} k={k}: {type(e).__name__}: {e}",
-                          flush=True)
-                    out.write(f"4096x4096,{platform},{dtype_name},{k},failed,0\n")
+                    print(f"{dtype_name} k={k} band={band}: "
+                          f"{type(e).__name__}: {e}", flush=True)
+                    out.write(f"4096x4096,{platform},{dtype_name},{k},"
+                              f"{band or 'auto'},failed,0\n")
                     continue
                 gbs = traffic / k / us / 1e3
-                row = (f"4096x4096,{platform},{dtype_name},{k},{us:.2f},"
-                       f"{gbs:.1f}")
+                row = (f"4096x4096,{platform},{dtype_name},{k},"
+                       f"{band or 'auto'},{us:.2f},{gbs:.1f}")
                 print(row, flush=True)
                 out.write(row + "\n")
                 out.flush()

@@ -34,7 +34,12 @@ def blur_image(
     device mesh with XLA-implicit halo exchange — the multi-chip blur the
     reference scaled to 16 IPUs (experiments/gaussian-blur-scaling)."""
     fimg = img_lib.to_float_image(rgba)
-    padded, interior, (h, w) = img_lib.pad_to_tile(fimg.intensities)
+    # row_mult 32 (not the minimal 8) gives the banded engines a richer set
+    # of band choices — heights like leaf's 1026 -> 1032 admit only 8-row
+    # bands (3x halo read amplification); 1056 admits 32/96/... The extra
+    # masked rows are free.
+    padded, interior, (h, w) = img_lib.pad_to_tile(fimg.intensities,
+                                                   row_mult=32)
 
     x = jnp.asarray(padded, dtype)
     inter = jnp.asarray(interior, dtype)

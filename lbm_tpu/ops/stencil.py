@@ -118,7 +118,7 @@ def blur_step_pallas(img: jax.Array, interior: jax.Array, *,
     for the zero-boundary stencil."""
     c, h, w = img.shape
     if band is None:
-        band = _choose_band(h)
+        band = _choose_band(h, w, c, img.dtype.itemsize)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     call = _build_pallas_blur(c, h, w, jnp.dtype(img.dtype).name, band,
@@ -126,11 +126,19 @@ def blur_step_pallas(img: jax.Array, interior: jax.Array, *,
     return call(img, img, img, interior)
 
 
-def _choose_band(h: int) -> int:
-    for b in (256, 128, 64, 32, 16, 8):
-        if h % b == 0:
-            return b
-    raise ValueError(f"height {h} not a multiple of 8")
+def _choose_band(h: int, w: int = 512, c: int = 4, itemsize: int = 4) -> int:
+    """Largest band (multiple of 8 dividing h, <=256) whose input window
+    c*band*w*itemsize stays under ~2 MB — wider bands blow the scoped-VMEM
+    budget on wide images (Mosaic temporaries scale with the block; a
+    4096-wide f32 image OOMs at band 256 but runs at 32-64)."""
+    budget = 2 * 1024 * 1024
+    best = 0
+    for b in range(8, 257, 8):
+        if h % b == 0 and (b == 8 or c * b * w * itemsize <= budget):
+            best = b
+    if not best:
+        raise ValueError(f"height {h} not a multiple of 8")
+    return best
 
 
 MAX_PASSES_PER_SWEEP = 8  # halo blocks are 8 rows -> k <= 8
@@ -169,7 +177,9 @@ def _blur_kernel_k(img_ref, prev_ref, next_ref, int_ref, iprev_ref,
         rows = x[:, :n_rows, :] + 2.0 * x[:, 1:n_rows + 1, :] + x[:, 2:n_rows + 2, :]
         acc = shift(rows, -1) + 2.0 * rows + shift(rows, 1)
         lo = j - 1  # offset of this pass's region within m_wide
-        x = acc * (1.0 / 16.0) * m_wide[None, lo:lo + n_rows, :]
+        # slice first, expand_dims after: a combined m_wide[None, lo:...]
+        # lowers to a gather, which Mosaic cannot lower in this layout
+        x = acc * (1.0 / 16.0) * jnp.expand_dims(m_wide[lo:lo + n_rows, :], 0)
     out_ref[:] = x.astype(out_ref.dtype)
 
 
@@ -217,7 +227,7 @@ def blur_k_pallas(img: jax.Array, interior: jax.Array, *, k_passes: int,
     blur_step_pallas."""
     c, h, w = img.shape
     if band is None:
-        band = _choose_band(h)
+        band = _choose_band(h, w, c, img.dtype.itemsize)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     call = _build_pallas_blur_k(c, h, w, jnp.dtype(img.dtype).name, band,
