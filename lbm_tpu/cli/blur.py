@@ -25,7 +25,10 @@ def main(argv=None) -> int:
     parser.add_argument("-n", "--num-iters", type=int, default=100,
                         help="number of iteration pairs (each = 2 blur passes)")
     parser.add_argument("--engine", default="conv",
-                        choices=["conv", "pallas", "resident", "conv-sharded"])
+                        choices=["conv", "pallas", "resident", "conv-sharded",
+                                 "auto"],
+                        help="auto = resident when the image fits VMEM, "
+                             "else temporal-blocked banded pallas")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices for --engine conv-sharded (default: all)")
     parser.add_argument("--data-type", default="float",

@@ -44,6 +44,17 @@ def blur_image(
     x = jnp.asarray(padded, dtype)
     inter = jnp.asarray(interior, dtype)
 
+    if engine == "auto":
+        # fastest measured engine per size (docs/TUNING.md): VMEM-resident
+        # when the image fits, else temporal-blocked banded kernel
+        if stencil.resident_fits(x):
+            engine = "resident"
+        else:
+            engine = "pallas"
+            if k_passes is None:
+                k_passes = next(
+                    (k for k in (4, 2) if (2 * num_iters) % k == 0), None)
+
     if engine == "conv-sharded":
         from jax.sharding import NamedSharding, PartitionSpec as P
 

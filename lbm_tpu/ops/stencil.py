@@ -291,19 +291,26 @@ def _build_resident_blur(c, h, w, dtype_name, interpret):
 RESIDENT_VMEM_BUDGET = 100 * 1024 * 1024
 
 
+def resident_fits(img: jax.Array) -> bool:
+    """Whether the resident engine's VMEM estimate fits the budget."""
+    c, h, w = img.shape
+    needed = (2 * 4 + img.dtype.itemsize * 2 + 2 * 4) * c * h * w
+    return needed <= RESIDENT_VMEM_BUDGET
+
+
 def blur_resident(img: jax.Array, interior: jax.Array, *, num_passes: int,
                   interpret: bool | None = None) -> jax.Array:
     """`num_passes` blur applications with the image VMEM-resident
     throughout. Needs ~11 * C*H*W bytes of VMEM — use the banded engines
     for images beyond roughly 1600x1600."""
     c, h, w = img.shape
-    # 2 f32 ping-pong buffers + in/out/interior + ~2 live temporaries
-    needed = (2 * 4 + img.dtype.itemsize * 2 + 2 * 4) * c * h * w
-    if needed > RESIDENT_VMEM_BUDGET:
+    if not resident_fits(img):
+        needed = (2 * 4 + img.dtype.itemsize * 2 + 2 * 4) * c * h * w
         raise ValueError(
             f"image {c}x{h}x{w} needs ~{needed >> 20}MB VMEM for the "
             f"resident engine (budget {RESIDENT_VMEM_BUDGET >> 20}MB); "
-            "use engine='pallas' or 'conv' for images this large"
+            "use engine='pallas' (ideally with k_passes) or 'conv' for "
+            "images this large"
         )
     if num_passes % 2:
         raise ValueError("resident blur runs passes in pairs (even num_passes)")

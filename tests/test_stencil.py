@@ -182,6 +182,23 @@ class TestShardedBlur:
         np.testing.assert_allclose(sharded, local, rtol=1e-5, atol=1e-7)
 
 
+def test_resident_fits_predicate():
+    small = jnp.zeros((4, 320, 512), jnp.float32)
+    big = jnp.zeros((4, 2048, 2048), jnp.float32)
+    assert stencil.resident_fits(small)
+    assert not stencil.resident_fits(big)
+
+
+def test_auto_engine_dispatch():
+    """engine='auto' picks resident for small images and runs correctly."""
+    from lbm_tpu.models import blur as blur_model
+
+    rgba = (RNG.uniform(0, 255, size=(24, 40, 4))).astype(np.uint8)
+    out, _ = blur_model.blur_image(rgba, num_iters=2, engine="auto")
+    ref, _ = blur_model.blur_image(rgba, num_iters=2, engine="resident")
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_resident_rejects_oversized_image():
     big = jnp.zeros((4, 2048, 2048), jnp.float32)
     inter = jnp.zeros((2048, 2048), jnp.float32)
