@@ -60,20 +60,26 @@ def per_pass_seconds(x, inter, engine, max_iters=30000):
     """Differential per-pass device time, robust to the tunnel's ~100 ms
     dispatch jitter: grow the high iteration count until the measured
     lo->hi delta clearly exceeds the jitter (>= ~200 ms), then take the
-    median of 3 differential samples."""
+    median of 3 differential samples.  The median itself must reconstruct
+    a signal >= 100 ms, else the growth loop continues — a pair of jitter
+    spikes once stopped the loop early and produced a *negative* per-pass
+    time for an ~11 us kernel."""
     t_lo = timed(x, inter, N_LO, engine)
     n_hi = 5 * N_LO
     while True:
+        t_lo = min(t_lo, timed(x, inter, N_LO, engine, warm=False))
         t_hi = timed(x, inter, n_hi, engine)
+        t_hi = min(t_hi, timed(x, inter, n_hi, engine, warm=False))
         if t_hi - t_lo >= 0.2 or n_hi >= max_iters:
-            break
+            deltas = []
+            for _ in range(3):
+                a = timed(x, inter, N_LO, engine, warm=False)
+                b = timed(x, inter, n_hi, engine, warm=False)
+                deltas.append((b - a) / (2 * (n_hi - N_LO)))
+            med = float(np.median(deltas))
+            if med * 2 * (n_hi - N_LO) >= 0.1 or n_hi >= max_iters:
+                return med, t_lo
         n_hi = min(max_iters, n_hi * 4)
-    deltas = []
-    for _ in range(3):
-        a = timed(x, inter, N_LO, engine, warm=False)
-        b = timed(x, inter, n_hi, engine, warm=False)
-        deltas.append((b - a) / (2 * (n_hi - N_LO)))
-    return float(np.median(deltas)), t_lo
 
 
 def main():

@@ -36,15 +36,18 @@ def main():
     f0 = jnp.full((9, n, n), 0.1 / 9, jnp.float32)
     mask_f = jnp.zeros((n, n), jnp.float32)
     w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
-    configs = []
-    for band in (32, 64, 128):
-        configs.append((band, None))  # default right-sized vmem limit
-    configs.append((64, 100 * 1024 * 1024))  # flat generous budget control
+    if len(sys.argv) > 2:  # e.g. "sweep2048.py 2000 32 128" — one compile each
+        configs = [(int(b), None) for b in sys.argv[2:]]
+    else:
+        configs = [(b, None) for b in (32, 64, 128)]
+        configs.append((64, 100 * 1024 * 1024))  # flat generous budget control
 
     out_path = os.path.join(os.path.dirname(__file__), "sweep2048.csv")
     platform = jax.devices()[0].platform
-    with open(out_path, "w") as out:
-        out.write("band,vmem_limit,platform,iters,seconds,mlups\n")
+    append = os.path.exists(out_path) and len(sys.argv) > 2
+    with open(out_path, "a" if append else "w") as out:
+        if not append:
+            out.write("band,vmem_limit,platform,iters,seconds,mlups\n")
         for band, vmem in configs:
             def run(ns):
                 return d2q9_pallas.run(

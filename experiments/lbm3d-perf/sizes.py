@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Does the ~2,700-MLUPS D3Q19 roofline (measured at 64x128x256,
+docs/TUNING.md) hold across grid shapes? One row per shape: pure-XLA vs the
+production Pallas config (bz=4, K=2).
+
+Usage: python experiments/lbm3d-perf/sizes.py [iters]   (real TPU)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+
+from lbm_tpu.ops import d3q19, d3q19_pallas
+from lbm_tpu.utils import profiling
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+profiling.enable_compilation_cache(os.path.join(HERE, "..", "..", ".jax_cache"))
+
+SHAPES = [(64, 128, 256), (128, 128, 128), (32, 256, 256), (128, 256, 256)]
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    iters -= iters % 2
+    out_path = os.path.join(HERE, "sizes.csv")
+    platform = jax.devices()[0].platform
+    with open(out_path, "w") as out:
+        out.write("engine,platform,grid,iters,seconds,mlups\n")
+        for nz, ny, nx in SHAPES:
+            cells = nz * ny * nx
+            f = jnp.asarray(d3q19.initial_distributions(nz, ny, nx, 0.1,
+                                                        np.float32))
+            mask = np.zeros((nz, ny, nx), bool)
+            mask[0] = mask[-1] = True
+            mask_j = jnp.asarray(mask)
+            mask_f = mask_j.astype(f.dtype)
+            amask = d3q19.accel_plane_mask(nz, ny, nx, nz - 2)
+
+            def run_jax(n):
+                return d3q19.run(f, mask_j, amask, num_steps=n, omega=1.85,
+                                 density=0.1, accel=0.005)
+
+            def run_pallas(n):
+                return d3q19_pallas.run(
+                    f, mask_f, num_steps=n, k_steps=2, omega=1.85,
+                    density=0.1, accel=0.005, accel_plane=nz - 2, bz=4)
+
+            for name, fn in (("jax", run_jax), ("pallas_bz4_k2", run_pallas)):
+                try:
+                    np.asarray(fn(iters)[1])
+                    t0 = time.perf_counter()
+                    np.asarray(fn(iters)[1])
+                    dt = time.perf_counter() - t0
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name} {nz}x{ny}x{nx}: {type(e).__name__}",
+                          flush=True)
+                    out.write(f"{name},{platform},{nz}x{ny}x{nx},{iters},"
+                              f"failed,0\n")
+                    continue
+                mlups = iters * cells / dt / 1e6
+                row = (f"{name},{platform},{nz}x{ny}x{nx},{iters},"
+                       f"{dt:.4f},{mlups:.1f}")
+                print(row, flush=True)
+                out.write(row + "\n")
+                out.flush()
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
