@@ -39,8 +39,26 @@ def run_simulation(
     num_steps: int | None = None,
 ) -> LbmResult:
     """Run the full simulation. `engine` selects the compute path:
-    'jax' (pure-JAX fused step) or 'pallas' (hand-fused TPU kernel)."""
+    'jax' (pure-JAX fused step), 'pallas' (hand-fused TPU kernel) or
+    'native' (serial C++ host engine, native/d2q9_serial.cpp — the
+    reference's lbm_cpu/compareLbm analogue; no JAX, no compile)."""
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
+
+    if engine == "native":
+        from ..ops import d2q9_native
+
+        f_host = state.initial_distributions(p, np.dtype(dtype))
+        t0 = time.perf_counter()
+        f_np, av_np = d2q9_native.simulate(p, f_host, obstacles.mask)
+        compute_seconds = time.perf_counter() - t0
+        return LbmResult(
+            f_final=f_np,
+            av_vels=av_np,
+            compute_seconds=compute_seconds,
+            reynolds=reynolds_number(p, float(av_np[-1])),
+            total_density=state.total_density(f_np),
+        )
+
     f0 = jnp.asarray(state.initial_distributions(p, np.dtype(dtype)))
     mask = jnp.asarray(obstacles.mask)
 
@@ -142,7 +160,25 @@ def run_simulation_with_checkpoints(
         av_parts = []
     need_first_accel = start == 0
 
-    if engine in ("jax", "pallas"):
+    if engine == "native":
+        from ..ops import d2q9_native
+
+        f = np.ascontiguousarray(f_host)
+        if need_first_accel:
+            d2q9_native.first_accelerate(
+                f, obstacles.mask, accel_row=accel_row,
+                accel_w1=aw.w1, accel_w2=aw.w2)
+
+        def run_chunk(f, n):
+            tot = d2q9_native.run(
+                f, obstacles.mask, num_steps=n, omega=p.omega,
+                accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row)
+            return f, tot
+
+        def gather(f):
+            return f
+
+    elif engine in ("jax", "pallas"):
         f = jnp.asarray(f_host)
         if need_first_accel:
             f = d2q9.first_accelerate(f, mask, accel_row=accel_row,
@@ -219,9 +255,15 @@ def run_simulation_with_checkpoints(
     while start < total:
         n = min(checkpoint_every, total - start)
         f, tot = run_chunk(f, n)
-        # divide in f.dtype to match d2q9(.pallas).simulate exactly
-        av_parts.append(np.asarray(
-            tot / jnp.asarray(num_free, f.dtype), np.float64))
+        # divide in f.dtype to match each engine's simulate() exactly
+        # (numpy for the native engine — jnp would truncate f64 state to
+        # f32 when x64 is off)
+        if isinstance(f, np.ndarray):
+            av_parts.append(
+                (tot.astype(f.dtype) / f.dtype.type(num_free)).astype(np.float64))
+        else:
+            av_parts.append(np.asarray(
+                tot / jnp.asarray(num_free, f.dtype), np.float64))
         start += n
         checkpoint.save(ck_path, gather(f), np.concatenate(av_parts),
                         start, p)

@@ -74,10 +74,11 @@ _CACHED: dict[bool, NativeIO | None] = {}
 
 
 def _lib_is_fresh() -> bool:
-    src = NATIVE_DIR / "lbmio.cpp"
-    return (LIB_PATH.exists()
-            and (not src.exists()
-                 or LIB_PATH.stat().st_mtime >= src.stat().st_mtime))
+    if not LIB_PATH.exists():
+        return False
+    mtime = LIB_PATH.stat().st_mtime
+    return all(mtime >= src.stat().st_mtime
+               for src in NATIVE_DIR.glob("*.cpp"))
 
 
 def load(auto_build: bool = True) -> NativeIO | None:

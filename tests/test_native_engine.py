@@ -1,0 +1,127 @@
+"""Tests for the native serial D2Q9 engine (native/d2q9_serial.cpp).
+
+The native engine is the framework's independent host-side oracle — the
+analogue of the reference's serial golden standard (main/LastChance.cpp).
+It must match the golden data at f64, agree with the JAX engine in both
+precisions, and be bit-identically chunkable (the checkpoint contract).
+"""
+
+import dataclasses
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.core import io, state
+from lbm_tpu.core.params import Obstacles, Params
+from lbm_tpu.ops import d2q9, d2q9_native
+
+pytestmark = pytest.mark.skipif(
+    not d2q9_native.available(),
+    reason="native engine not built and no toolchain available")
+
+
+def load_case(reference_dir, grid="128x128", n=100):
+    p = Params.from_file(f"{reference_dir}/params/input_{grid}.params")
+    obs = Obstacles.from_file(f"{reference_dir}/params/obstacles_{grid}.dat", p)
+    return dataclasses.replace(p, max_iters=n), obs
+
+
+def test_f64_matches_golden_prefix(reference_dir):
+    p, obs = load_case(reference_dir, n=500)
+    golden = io.read_av_vels(f"{reference_dir}/check/128x128.av_vels.dat")
+    f0 = state.initial_distributions(p, np.float64)
+    _, av = d2q9_native.simulate(p, f0, obs.mask)
+    rel = np.abs(av - golden[:500]) / golden[:500]
+    assert rel.max() < 1e-10, f"max rel err {rel.max():.3e}"
+
+
+def test_f64_agrees_with_jax_engine(reference_dir):
+    p, obs = load_case(reference_dir, n=100)
+    f0 = state.initial_distributions(p, np.float64)
+    fn, avn = d2q9_native.simulate(p, f0.copy(), obs.mask)
+    with jax.enable_x64(True):
+        fj, avj = d2q9.simulate(p, jnp.asarray(f0), jnp.asarray(obs.mask))
+        fj, avj = np.asarray(fj), np.asarray(avj)
+    np.testing.assert_allclose(avn, avj, rtol=1e-12)
+    np.testing.assert_allclose(fn, fj, rtol=1e-11, atol=1e-16)
+
+
+def test_f32_agrees_with_jax_engine(reference_dir):
+    """Same expression grouping => same rounding class; the residual is
+    reduction order (~1e-6/step scale, experiments/f32-error-decomposition)."""
+    p, obs = load_case(reference_dir, n=100)
+    f0 = state.initial_distributions(p, np.float32)
+    fn, avn = d2q9_native.simulate(p, f0.copy(), obs.mask)
+    fj, avj = d2q9.simulate(p, jnp.asarray(f0), jnp.asarray(obs.mask))
+    np.testing.assert_allclose(avn, np.asarray(avj, np.float64), rtol=1e-4)
+    np.testing.assert_allclose(fn, np.asarray(fj), rtol=2e-4, atol=1e-9)
+
+
+def test_chunked_runs_bit_identical(reference_dir):
+    p, obs = load_case(reference_dir, n=40)
+    aw = d2q9.AccelWeights.from_params(p)
+    row = p.ny - 2
+    f_one = state.initial_distributions(p, np.float64)
+    f_chunk = f_one.copy()
+    tot_one = d2q9_native.run(f_one, obs.mask, num_steps=40, omega=p.omega,
+                              accel_w1=aw.w1, accel_w2=aw.w2, accel_row=row)
+    tots = [d2q9_native.run(f_chunk, obs.mask, num_steps=10, omega=p.omega,
+                            accel_w1=aw.w1, accel_w2=aw.w2, accel_row=row)
+            for _ in range(4)]
+    assert np.array_equal(np.concatenate(tots), tot_one)
+    assert np.array_equal(f_chunk, f_one)
+
+
+def test_first_accelerate_guard_matches_jax(reference_dir):
+    """The positivity guard must trip per cell exactly like the JAX path."""
+    p, obs = load_case(reference_dir, n=1)
+    rng = np.random.default_rng(0)
+    f0 = state.initial_distributions(p, np.float64)
+    # perturb so some cells fail the positivity guard
+    f0[3, p.ny - 2, ::3] = 1e-6
+    f0[6, p.ny - 2, 1::5] = 1e-7
+    aw = d2q9.AccelWeights.from_params(p)
+    f_native = f0.copy()
+    d2q9_native.first_accelerate(f_native, obs.mask, accel_row=p.ny - 2,
+                                 accel_w1=aw.w1, accel_w2=aw.w2)
+    with jax.enable_x64(True):
+        f_jax = np.asarray(d2q9.first_accelerate(
+            jnp.asarray(f0), jnp.asarray(obs.mask), accel_row=p.ny - 2,
+            accel_w1=aw.w1, accel_w2=aw.w2))
+    assert np.array_equal(f_native, f_jax)
+
+
+def test_cli_engine_native(reference_dir, tmp_path):
+    ref = Path(reference_dir)
+    cmd = [sys.executable, "-m", "lbm_tpu.cli.lbm",
+           "--params", str(ref / "params/input_128x128.params"),
+           "--obstacles", str(ref / "params/obstacles_128x128.dat"),
+           "--engine", "native", "--dtype", "float64",
+           "--num-steps", "50", "--out-dir", str(tmp_path)]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd=Path(__file__).parent.parent, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "==done==" in out.stdout
+    av = io.read_av_vels(tmp_path / "av_vels.dat")
+    golden = io.read_av_vels(f"{reference_dir}/check/128x128.av_vels.dat")
+    rel = np.abs(av - golden[:50]) / golden[:50]
+    assert rel.max() < 1e-10
+
+
+def test_checkpoint_chunking_native(reference_dir, tmp_path):
+    """--checkpoint-every chunked native run == uninterrupted native run."""
+    from lbm_tpu.models import lbm as lbm_model
+
+    p, obs = load_case(reference_dir, n=30)
+    straight = lbm_model.run_simulation(p, obs, dtype=jnp.float64,
+                                        engine="native")
+    chunked = lbm_model.run_simulation_with_checkpoints(
+        p, obs, checkpoint_path=tmp_path / "ck.npz", checkpoint_every=10,
+        dtype=jnp.float64, engine="native")
+    assert np.array_equal(chunked.av_vels, straight.av_vels)
+    assert np.array_equal(chunked.f_final, straight.f_final)
