@@ -53,7 +53,16 @@ def main():
                     f, mask_f, num_steps=n, k_steps=2, omega=1.85,
                     density=0.1, accel=0.005, accel_plane=nz - 2, bz=4)
 
-            for name, fn in (("jax", run_jax), ("pallas_bz4_k2", run_pallas)):
+            bz, by = d3q19_pallas.choose_config(nz, ny, nx, 2)
+
+            def run_auto(n):
+                return d3q19_pallas.run(
+                    f, mask_f, num_steps=n, k_steps=2, omega=1.85,
+                    density=0.1, accel=0.005, accel_plane=nz - 2,
+                    bz=bz, by=by)
+
+            for name, fn in (("jax", run_jax), ("pallas_bz4_k2", run_pallas),
+                             (f"pallas_auto_bz{bz}_by{by}_k2", run_auto)):
                 try:
                     np.asarray(fn(iters)[1])
                     t0 = time.perf_counter()

@@ -242,10 +242,11 @@ def simulate(
 
         if num_steps % k_steps or nz % k_steps:
             k_steps = 1
+        bz, by = d3q19_pallas.choose_config(nz, ny, nx, k_steps)
         f_final, tot = d3q19_pallas.run(
             f, obstacle_mask.astype(f.dtype), num_steps=num_steps,
             k_steps=k_steps, omega=omega, density=density, accel=accel,
-            accel_plane=nz - 2,
+            accel_plane=nz - 2, bz=bz, by=by,
         )
     else:
         amask = accel_plane_mask(nz, ny, nx, nz - 2, dtype=f.dtype)

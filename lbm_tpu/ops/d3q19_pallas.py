@@ -35,6 +35,38 @@ def default_vmem_limit(bz: int, ny: int, nx: int, k: int) -> int:
     return min(120 * 1024 * 1024, int((operands + scratch) * 1.35))
 
 
+def choose_config(nz: int, ny: int, nx: int, k_steps: int = 2,
+                  ) -> tuple[int, int | None]:
+    """(bz, by) for `run`: z-slab when its working set fits VMEM, the
+    (z, y)-blocked kernel beyond (large (ny, nx) planes — e.g. 256x256,
+    where 19 x 5 MB planes blow the slab's VMEM at any bz >= k; measured in
+    experiments/lbm3d-perf/sizes.csv). The 3-D analogue of the 2-D
+    `choose_band` constant-working-set rule. by=None means slab."""
+    k = k_steps
+    bz = max(k, 4)
+    while nz % bz:
+        bz //= 2
+    bz = max(bz, k) if nz % k == 0 else bz
+    plane = 19 * ny * nx * 4
+    # live slab bytes: ghost-extended in + out (double-buffered) + ~3
+    # scratch copies of the extended slab. 110 MB threshold calibrated on
+    # v5e (~128 MB VMEM): 64x128x256 @ bz=4/K=2 -> 90 MB compiles;
+    # 32x256x256 -> 179 MB does not.
+    if (4 * (bz + 2 * k) + bz) * plane <= 110 * 1024 * 1024:
+        return bz, None
+    # blocked: largest by (divisor of ny, multiple of 8) whose ghost-
+    # extended block set stays under ~60 MB — the regime measured at
+    # 600-850 GB/s effective DMA bandwidth
+    for by in range(min(ny, 256), 7, -8):
+        if ny % by:
+            continue
+        live = (19 * (bz + 2 * k) * (by + 2 * k) * nx * 4 * 4
+                + 19 * bz * by * nx * 4)
+        if live <= 60 * 1024 * 1024:
+            return bz, by
+    return bz, 8
+
+
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             mnext_ref, out_ref, tot_ref, *, bz: int, k_steps: int,
             omega: float, density: float, accel: float, accel_plane: int,

@@ -142,3 +142,36 @@ def test_blocked_zy_kernel_matches_slab(cfg):
     np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_q),
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_q), rtol=1e-4)
+
+
+def test_choose_config_slab_when_it_fits():
+    """Production shapes keep the measured-fastest z-slab config."""
+    assert d3q19_pallas.choose_config(64, 128, 256, 2) == (4, None)
+    assert d3q19_pallas.choose_config(128, 128, 128, 2) == (4, None)
+    assert d3q19_pallas.choose_config(8, 8, 16, 2) == (4, None)
+
+
+def test_choose_config_blocks_large_planes():
+    """256x256+ planes exceed the slab's VMEM (measured FAILED rows in
+    experiments/lbm3d-perf/sizes.csv) -> the (z,y)-blocked kernel with a
+    legal by (divides ny, multiple of 8)."""
+    for nz, ny, nx in [(32, 256, 256), (128, 256, 256), (128, 512, 512)]:
+        bz, by = d3q19_pallas.choose_config(nz, ny, nx, 2)
+        assert by is not None and ny % by == 0 and by % 8 == 0
+        assert nz % bz == 0 and bz % 2 == 0
+
+
+def test_simulate_pallas_uses_auto_config_on_blocked_shape():
+    """simulate(engine='pallas') must run (interpret mode here) at a shape
+    whose slab config would exceed TPU VMEM."""
+    nz, ny, nx = 8, 16, 128
+    import lbm_tpu.ops.d3q19_pallas as mod
+    orig = mod.choose_config
+    try:
+        mod.choose_config = lambda *a, **k: (4, 8)  # force the blocked path
+        f, av = d3q19.simulate(nz, ny, nx, num_steps=4, engine="pallas")
+    finally:
+        mod.choose_config = orig
+    f2, av2 = d3q19.simulate(nz, ny, nx, num_steps=4, engine="jax")
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av2),
+                               rtol=1e-5, atol=1e-9)
