@@ -111,13 +111,14 @@ def simulate(params: Params, f: np.ndarray, mask: np.ndarray):
 
     Returns (f_final, av_vels) as numpy arrays; av_vels is divided by the
     free-cell count in the state dtype (matching the JAX engines' division
-    precision) and returned as float64.
+    precision) and returned as float64. The input `f` is NOT mutated
+    (unlike the lower-level `run`, which advances in place).
     """
     from . import d2q9  # AccelWeights only — no jax work happens here
 
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
-    f = np.ascontiguousarray(f)
+    f = np.array(f, order="C", copy=True)
     first_accelerate(f, mask, accel_row=accel_row,
                      accel_w1=aw.w1, accel_w2=aw.w2)
     tot_u = run(f, mask, num_steps=params.max_iters, omega=params.omega,

@@ -125,3 +125,32 @@ def test_checkpoint_chunking_native(reference_dir, tmp_path):
         dtype=jnp.float64, engine="native")
     assert np.array_equal(chunked.av_vels, straight.av_vels)
     assert np.array_equal(chunked.f_final, straight.f_final)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomised_state_parity_with_jax(seed):
+    """Equilibrium + 1% perturbation + random obstacles (random raw states
+    are chaotic and useless for cross-engine comparison — CLAUDE.md): the
+    native and JAX engines must agree step-for-step at f64."""
+    rng = np.random.default_rng(seed)
+    ny, nx = 24, 40
+    rho = 0.1 * (1 + 0.01 * rng.standard_normal((ny, nx)))
+    u_x = 0.01 * rng.standard_normal((ny, nx))
+    u_y = 0.01 * rng.standard_normal((ny, nx))
+    with jax.enable_x64(True):
+        f0 = np.asarray(d2q9.equilibrium(jnp.asarray(rho), jnp.asarray(u_x),
+                                         jnp.asarray(u_y)), np.float64)
+    mask = rng.random((ny, nx)) < 0.1
+    mask[ny - 2] = False  # keep the accelerated row free
+    omega, w1, w2 = 1.85, 1e-4, 2.5e-5
+    f_nat = f0.copy()  # run() advances in place
+    tot_nat = d2q9_native.run(f_nat, mask, num_steps=20, omega=omega,
+                              accel_w1=w1, accel_w2=w2, accel_row=ny - 2)
+    with jax.enable_x64(True):
+        amask = d2q9.accel_row_mask(ny, nx, ny - 2, dtype=jnp.float64)
+        f_jax, tot_jax = d2q9.run(jnp.asarray(f0), jnp.asarray(mask), amask,
+                                  num_steps=20, omega=omega, accel_w1=w1,
+                                  accel_w2=w2)
+    np.testing.assert_allclose(tot_nat, np.asarray(tot_jax), rtol=1e-12)
+    np.testing.assert_allclose(f_nat, np.asarray(f_jax), rtol=1e-10,
+                               atol=1e-18)
