@@ -34,18 +34,38 @@ def make_z_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n]).reshape(n), (ROW,))
 
 
+def plan_planes(nz: int, n_shards: int, ghost: int) -> tuple[int, int]:
+    """(shard_depth, pad_planes) for the ghost-plane path: shard depths must
+    be a multiple of the ghost depth (the kernel's K | nz constraint), so
+    uneven nz pads the LAST z-shard — the z-axis instantiation of the 2-D
+    pad-and-mask remainder strategy (pallas_sharded.plan_rows; reference
+    remainder rows: StructuredGridUtils.hpp:309-412)."""
+    h = -(-nz // n_shards)
+    h = -(-h // ghost) * ghost
+    if nz - (n_shards - 1) * h < ghost:
+        raise ValueError(
+            f"{nz} planes on {n_shards} z-shards: the last shard would hold "
+            f"< {ghost} valid planes (ghost-aligned depth {h}); use fewer "
+            "z-shards or k_steps")
+    return h, n_shards * h - nz
+
+
 def extended_mask(obstacle_mask: np.ndarray, n_shards: int, ghost: int) -> np.ndarray:
-    """Per-shard ghost-extended obstacle masks stacked to (r*(h+2g), ny, nx)."""
+    """Per-shard ghost-extended obstacle masks stacked to (r*(h+2g), ny, nx).
+
+    Uneven nz: each extended local plane maps to the REAL-periodic global
+    plane ((s*h + j - g) mod nz); the last shard's planes beyond its
+    valid+north-ghost zone are dead padding, marked as obstacles (excluded
+    from Sum|u|, dynamics bounded by rebound)."""
     nz, ny, nx = obstacle_mask.shape
-    if nz % n_shards:
-        raise ValueError(f"nz {nz} not divisible by {n_shards} z-shards")
-    h = nz // n_shards
-    if h < ghost:
-        raise ValueError(f"shard depth {h} < ghost depth {ghost}")
+    h, _pad = plan_planes(nz, n_shards, ghost)
     blocks = []
     for s in range(n_shards):
+        vh = min(h, nz - s * h)
         planes = (s * h - ghost + np.arange(h + 2 * ghost)) % nz
-        blocks.append(obstacle_mask[planes])
+        blk = obstacle_mask[planes].copy()
+        blk[2 * ghost + vh:] = True  # dead padding planes
+        blocks.append(blk)
     return np.concatenate(blocks, axis=0)
 
 
@@ -66,13 +86,27 @@ def make_chunk_fn(
     (f (19,nz,ny,nx) P(None,'ry',None,None), mask_ext P('ry',None,None))
     -> (f', tot_u (K,) replicated)."""
     (n_shards,) = mesh.devices.shape
-    h = nz // n_shards
     g = k_steps  # ghost depth = steps absorbed between exchanges
+    h, pad = plan_planes(nz, n_shards, g)
 
     def local_chunk(f_loc, mask_ext_f):
-        ghost_s = halo_lib.ring_shift(f_loc[:, -g:], ROW, +1)
+        _, _, ny, nx = f_loc.shape
+        # With uneven nz, the torus wraps at the last shard's valid edge:
+        # it sends its top valid g planes and the incoming north ghost is
+        # written right after the valid planes (a no-op position for
+        # unpadded shards) — the z instantiation of the 2-D scheme.
+        is_last = jax.lax.axis_index(ROW) == n_shards - 1
+        vh = h - jnp.where(is_last, pad, 0)
+        if pad:
+            top_band = jax.lax.dynamic_slice(
+                f_loc, (0, vh - g, 0, 0), (19, g, ny, nx))
+        else:
+            top_band = f_loc[:, -g:]
+        ghost_s = halo_lib.ring_shift(top_band, ROW, +1)
         ghost_n = halo_lib.ring_shift(f_loc[:, :g], ROW, -1)
         ext = jnp.concatenate([ghost_s, f_loc, ghost_n], axis=1)
+        if pad:
+            ext = jax.lax.dynamic_update_slice(ext, ghost_n, (0, vh + g, 0, 0))
 
         shard_z0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
         ext_new, tots = d3q19_pallas.stepk(
@@ -80,7 +114,7 @@ def make_chunk_fn(
             accel=accel, accel_plane=accel_plane, bz=bz, interpret=interpret,
             vmem_limit=vmem_limit,
             plane_offset=shard_z0 - g,
-            valid_planes=(g, g + h),
+            valid_planes=(g, g + vh),
             global_nz=nz,
         )
         f_new = ext_new[:, g : g + h]
@@ -156,9 +190,17 @@ def simulate(
         obstacle_mask[-1] = True
     obstacle_np = np.asarray(obstacle_mask)
 
+    _h, pad = plan_planes(nz, n_shards, k_steps)
+    f_np = np.asarray(d3q19.initial_distributions(nz, ny, nx, density, dtype))
+    if pad:
+        # pad-and-mask: equilibrium-filled dead planes appended to the last
+        # shard, masked as obstacles in extended_mask
+        f_np = np.concatenate(
+            [f_np,
+             np.asarray(d3q19.initial_distributions(pad, ny, nx, density,
+                                                    dtype))], axis=1)
     f = jax.device_put(
-        jnp.asarray(d3q19.initial_distributions(nz, ny, nx, density, dtype)),
-        NamedSharding(mesh, P(None, ROW, None, None)),
+        jnp.asarray(f_np), NamedSharding(mesh, P(None, ROW, None, None)),
     )
     mask_ext_f = jax.device_put(
         jnp.asarray(extended_mask(obstacle_np, n_shards, k_steps), f.dtype),
@@ -169,5 +211,7 @@ def simulate(
         omega=omega, density=density, accel=accel, accel_plane=nz - 2,
         nz=nz, bz=bz,
     )
+    if pad:
+        f_final = f_final[:, :nz]
     num_free = nz * ny * nx - int(obstacle_np.sum())
     return f_final, tot / jnp.asarray(num_free, f.dtype)

@@ -153,3 +153,38 @@ class TestGolden3D:
         g = self._golden()
         rel = np.abs(av[1:] - g[1:]) / np.abs(g[1:])
         assert rel.max() < 1e-4, f"{engine}: {rel.max():.3e}"
+
+
+def test_ghost_plane_pallas_sharded_uneven_nz():
+    """Uneven nz runs via pad-and-mask on the z-shards (the 3-D analogue of
+    the 2-D remainder strategy): av_vels and the valid planes match the
+    single-device run."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    ny, nx = 16, 128
+    for nz, n_shards, k in ((22, 4, 2), (10, 4, 1), (30, 4, 2), (14, 2, 4)):
+        f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=4 * k)
+        mesh = pallas_sharded_3d.make_z_mesh(n_shards)
+        f_sh, av_sh = pallas_sharded_3d.simulate(
+            nz, ny, nx, num_steps=4 * k, mesh=mesh, k_steps=k)
+        assert f_sh.shape == (19, nz, ny, nx)
+        np.testing.assert_allclose(np.asarray(av_sh), np.asarray(av_ref),
+                                   rtol=2e-5, atol=2e-8,
+                                   err_msg=f"nz={nz} shards={n_shards} k={k}")
+        np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                                   rtol=2e-5, atol=1e-7,
+                                   err_msg=f"nz={nz} shards={n_shards} k={k}")
+
+
+def test_plan_planes_rejects_too_many_shards():
+    import pytest
+
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    with pytest.raises(ValueError, match="valid planes"):
+        pallas_sharded_3d.plan_planes(9, 8, 2)
