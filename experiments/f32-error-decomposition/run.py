@@ -40,7 +40,7 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 
-from lbm_tpu.core import state  # noqa: E402
+from lbm_tpu.core import io, state  # noqa: E402
 from lbm_tpu.core.params import Obstacles, Params  # noqa: E402
 from lbm_tpu.ops import d2q9  # noqa: E402
 
@@ -70,8 +70,7 @@ def run_engine(p, obstacles, dtype, sum_dtype, num_steps):
 
 
 def read_golden(path):
-    return np.loadtxt(path, usecols=1, delimiter="\t",
-                      converters={1: float})
+    return np.asarray(io.read_av_vels(path))
 
 
 def two_float_sum(x32):

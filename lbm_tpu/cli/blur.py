@@ -73,7 +73,10 @@ def main(argv=None) -> int:
 
         rgba = img_lib.load_png(args.image)
         fimg = img_lib.to_float_image(rgba)
-        padded, interior, _ = img_lib.pad_to_tile(fimg.intensities)
+        # row_mult=32 matches the runtime path (models/blur.blur_image), so
+        # the compiled/exported step targets the shape actually executed
+        padded, interior, _ = img_lib.pad_to_tile(fimg.intensities,
+                                                  row_mult=32)
         x = jnp.asarray(padded, dtype)
         inter = jnp.asarray(interior, dtype)
 

@@ -61,7 +61,9 @@ def blur_image(
         from ..parallel import mesh as mesh_lib
 
         n = num_devices or len(jax.devices())
-        mesh = mesh_lib.make_mesh(n, padded.shape[1], padded.shape[2])
+        # implicit sharding: no pad-and-mask, so only exact splits lay out
+        mesh = mesh_lib.make_mesh(n, padded.shape[1], padded.shape[2],
+                                  require_even=True)
         x = jax.device_put(x, NamedSharding(
             mesh, P(None, mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS)))
         inter = jax.device_put(inter, NamedSharding(

@@ -104,7 +104,7 @@ def run_simulation_with_checkpoints(
     engine: str = "jax",
     resume: bool = False,
     num_steps: int | None = None,
-    k_steps: int = 4,
+    k_steps: int | None = None,
     strategy: str = "ppermute",
     num_devices: int | None = None,
 ) -> LbmResult:
@@ -115,7 +115,9 @@ def run_simulation_with_checkpoints(
     engine both the total and checkpoint_every must be multiples of
     k_steps — kernels compiled at different K differ at the ulp level
     (different Mosaic instruction selection), so a remainder chunk at
-    another K would break exactness.
+    another K would break exactness. k_steps=None picks the deepest
+    K <= 4 dividing both (mirroring d2q9_pallas.simulate's K fallback,
+    so any step count the plain CLI accepts also checkpoints).
     Multi-chip engines ('sharded' with a halo `strategy`, 'sharded-pallas')
     checkpoint the gathered global state, so a checkpoint written on one
     mesh can resume on another (valid cells are mesh-independent).
@@ -126,6 +128,11 @@ def run_simulation_with_checkpoints(
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
     total = p.max_iters
     pallas_like = engine in ("pallas", "sharded-pallas")
+    if pallas_like and k_steps is None:
+        k_steps = next(k for k in (4, 2, 1)
+                       if total % k == 0 and checkpoint_every % k == 0)
+    elif k_steps is None:
+        k_steps = 4  # unused by non-pallas engines
     if pallas_like and (total % k_steps or checkpoint_every % k_steps):
         raise ValueError(
             f"pallas checkpointing needs num_steps ({total}) and "
@@ -134,7 +141,6 @@ def run_simulation_with_checkpoints(
         )
     aw = d2q9.AccelWeights.from_params(p)
     accel_row = p.ny - 2
-    mask = jnp.asarray(obstacles.mask)
     num_free = float((~obstacles.mask).sum())
 
     ck_path = Path(checkpoint_path)
@@ -179,6 +185,7 @@ def run_simulation_with_checkpoints(
             return f
 
     elif engine in ("jax", "pallas"):
+        mask = jnp.asarray(obstacles.mask)
         f = jnp.asarray(f_host)
         if need_first_accel:
             f = d2q9.first_accelerate(f, mask, accel_row=accel_row,

@@ -224,7 +224,10 @@ def simulate(
         from ..parallel import mesh as mesh_lib
 
         n = num_devices or len(jax.devices())
-        mesh = mesh_lib.make_mesh(n, nz, ny)  # shard z and y; x stays local
+        # shard z and y; x stays local. Implicit sharding (no pad-and-mask
+        # here) needs exact splits — require_even gives a clear error;
+        # uneven nz runs on engine='sharded-pallas' instead.
+        mesh = mesh_lib.make_mesh(n, nz, ny, require_even=True)
         fs = NamedSharding(mesh, P(None, mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS, None))
         ms = NamedSharding(mesh, P(mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS, None))
         f = jax.device_put(f, fs)

@@ -54,17 +54,22 @@ def choose_config(nz: int, ny: int, nx: int, k_steps: int = 2,
     # 32x256x256 -> 179 MB does not.
     if (4 * (bz + 2 * k) + bz) * plane <= 110 * 1024 * 1024:
         return bz, None
-    # blocked: largest by (divisor of ny, multiple of 8) whose ghost-
-    # extended block set stays under ~60 MB — the regime measured at
-    # 600-850 GB/s effective DMA bandwidth
-    for by in range(min(ny, 256), 7, -8):
-        if ny % by:
-            continue
+    # blocked: largest by (divisor of ny, multiple of 8 — _build_blocked's
+    # hard constraints) whose ghost-extended block set stays under ~60 MB —
+    # the regime measured at 600-850 GB/s effective DMA bandwidth
+    legal = [b for b in range(8, min(ny, 256) + 1, 8) if ny % b == 0]
+    if not legal:
+        raise ValueError(
+            f"no legal y-block for ny={ny} (needs a divisor that is a "
+            "multiple of 8) and the z-slab working set exceeds VMEM at "
+            f"{ny}x{nx} planes — pad ny to a multiple of 8 or use the "
+            "jax engine")
+    for by in sorted(legal, reverse=True):
         live = (19 * (bz + 2 * k) * (by + 2 * k) * nx * 4 * 4
                 + 19 * bz * by * nx * 4)
         if live <= 60 * 1024 * 1024:
             return bz, by
-    return bz, 8
+    return bz, legal[0]
 
 
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
@@ -370,6 +375,11 @@ def stepk(
     if by is not None:
         # (z, y)-blocked kernel: small blocks pipeline at ~2x the bandwidth
         # of z-slabs and leave VMEM headroom for K=4 (see module comment)
+        if mode != "full" or layout != "qmajor":
+            raise ValueError(
+                f"mode={mode!r}/layout={layout!r} apply to the z-slab "
+                "kernel only; the (z,y)-blocked path (by=...) has no "
+                "diagnostic modes or alternate layouts")
         call = _build_blocked(
             (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(by),
             int(k_steps), float(omega), float(density), float(accel),

@@ -104,7 +104,13 @@ def pad_grid(params, f, obstacle_mask, pad_rows: int, pad_cols: int):
 
 
 def make_mesh(n_devices: int | None = None, ny: int = 1024, nx: int = 1024,
-              devices=None) -> Mesh:
+              devices=None, *, require_even: bool = False) -> Mesh:
+    """Mesh over the best (rows, cols) factorisation for a ny x nx grid.
+
+    require_even=True restricts to exact splits — pass it from consumers
+    that device_put WITHOUT pad-and-mask (implicit sharding), where an
+    uneven factorisation would otherwise surface as an obscure JAX
+    layout error instead of this clear ValueError."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
@@ -112,6 +118,8 @@ def make_mesh(n_devices: int | None = None, ny: int = 1024, nx: int = 1024,
     try:
         r, c = best_factorisation(n_devices, ny, nx)
     except ValueError:
+        if require_even:
+            raise
         # no exact split: the runtime runs uneven grids via pad-and-mask
         # (halo.simulate_sharded, strategy='ppermute')
         r, c = best_factorisation(n_devices, ny, nx, require_even=False,

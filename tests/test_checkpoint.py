@@ -46,10 +46,17 @@ def test_chunked_equals_uninterrupted(case, engine, every, tmp_path):
 @needs_ref
 def test_pallas_checkpoint_rejects_misaligned_chunks(case, tmp_path):
     p, obs = case
+    # explicit K that doesn't divide the chunking is rejected...
     with pytest.raises(ValueError, match="divisible"):
         lbm_model.run_simulation_with_checkpoints(
-            p, obs, engine="pallas", num_steps=60,
+            p, obs, engine="pallas", num_steps=60, k_steps=4,
             checkpoint_path=tmp_path / "ck.npz", checkpoint_every=25)
+    # ...but k_steps=None auto-selects the deepest K dividing both (here
+    # K=1), so any step count the plain CLI accepts also checkpoints
+    res = lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine="pallas", num_steps=60,
+        checkpoint_path=tmp_path / "ck.npz", checkpoint_every=25)
+    assert res.av_vels.size == 60
 
 
 @needs_ref
