@@ -24,7 +24,10 @@ def main(argv=None) -> int:
     parser.add_argument("--density", type=float, default=0.1)
     parser.add_argument("--accel", type=float, default=0.005)
     parser.add_argument("--engine", default="jax",
-                        choices=["jax", "pallas", "sharded", "sharded-pallas"])
+                        choices=["jax", "pallas", "sharded", "sharded-pallas",
+                                 "native"],
+                        help="'native' = serial C++ host oracle "
+                             "(native/d3q19_serial.cpp, no JAX)")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices for --engine sharded (default: all)")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])

@@ -198,6 +198,12 @@ def simulate(
     engine='sharded' runs the jax step on a (z, y)-sharded mesh with
     XLA-implicit halo collectives (the 3-D multi-chip path — the winning
     "implicit" strategy of the 2-D halo study applied to z/y planes)."""
+    if engine == "native":
+        from . import d3q19_native
+
+        return d3q19_native.simulate(
+            nz, ny, nx, num_steps=num_steps, omega=omega, density=density,
+            accel=accel, obstacle_mask=obstacle_mask, dtype=dtype)
     if engine == "sharded-pallas":
         # dispatch before building the lattice: pallas_sharded_3d.simulate
         # constructs its own sharded state

@@ -154,3 +154,66 @@ def test_randomised_state_parity_with_jax(seed):
     np.testing.assert_allclose(tot_nat, np.asarray(tot_jax), rtol=1e-12)
     np.testing.assert_allclose(f_nat, np.asarray(f_jax), rtol=1e-10,
                                atol=1e-18)
+
+
+# ---------------------------------------------------------------------------
+# Native serial D3Q19 oracle (native/d3q19_serial.cpp)
+# ---------------------------------------------------------------------------
+
+from lbm_tpu.ops import d3q19, d3q19_native  # noqa: E402
+
+
+needs_3d = pytest.mark.skipif(not d3q19_native.available(),
+                              reason="native 3-D engine not built")
+
+
+@needs_3d
+def test_3d_f64_matches_jax_and_golden_anchor():
+    """The native engine must match the JAX f64 engine AND the committed
+    f64 golden trace (tests/data/d3q19_16x16x32_200.av_vels.dat)."""
+    import os
+
+    fn, avn = d3q19_native.simulate(16, 16, 32, num_steps=200,
+                                    dtype=np.float64)
+    with jax.enable_x64(True):
+        fj, avj = d3q19.simulate(16, 16, 32, num_steps=200, dtype=np.float64)
+    np.testing.assert_allclose(avn, np.asarray(avj), rtol=1e-12)
+    np.testing.assert_allclose(fn, np.asarray(fj), rtol=1e-11, atol=1e-18)
+    golden = np.loadtxt(os.path.join(os.path.dirname(__file__), "data",
+                                     "d3q19_16x16x32_200.av_vels.dat"),
+                        usecols=1, delimiter="\t")
+    np.testing.assert_allclose(avn[1:], golden[1:], rtol=1e-12)
+
+
+@needs_3d
+def test_3d_f32_same_rounding_class_as_jax():
+    _, avn = d3q19_native.simulate(8, 12, 16, num_steps=50, dtype=np.float32)
+    _, avj = d3q19.simulate(8, 12, 16, num_steps=50, dtype=np.float32)
+    np.testing.assert_allclose(avn, np.asarray(avj, np.float64), rtol=2e-4,
+                               atol=1e-9)
+
+
+@needs_3d
+def test_3d_obstacle_geometry_parity():
+    """Random interior obstacle block exercises the 19-speed bounce-back."""
+    mask = np.zeros((8, 12, 16), bool)
+    mask[0] = mask[-1] = True
+    mask[3:5, 4:7, 6:10] = True
+    fn, avn = d3q19_native.simulate(8, 12, 16, num_steps=30,
+                                    obstacle_mask=mask, dtype=np.float64)
+    with jax.enable_x64(True):
+        fj, avj = d3q19.simulate(8, 12, 16, num_steps=30, obstacle_mask=mask,
+                                 dtype=np.float64)
+    np.testing.assert_allclose(avn, np.asarray(avj), rtol=1e-12)
+    np.testing.assert_allclose(fn, np.asarray(fj), rtol=1e-11, atol=1e-18)
+
+
+@needs_3d
+def test_3d_cli_engine_native(tmp_path):
+    cmd = [sys.executable, "-m", "lbm_tpu.cli.lbm3d", "--nz", "8", "--ny",
+           "8", "--nx", "16", "-n", "5", "--engine", "native",
+           "--out-dir", str(tmp_path)]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd=Path(__file__).parent.parent, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "av_vels_3d.dat").exists()
