@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Golden matrix: every reference grid, full golden length, both f32
+production engines, on the real TPU.
+
+flagship-golden-run covers 1024^2; this closes the rest of the reference's
+check/ matrix (128x128 @40k, 128x256 @40k, 256x256 @80k steps) so the TPU
+f32 engines carry committed full-length accuracy evidence on every shipped
+grid. Floors are the measured f32 state-rounding scale (7.4e-4 at 40k on
+128x128, experiments/f32-error-decomposition) with ~2.5x margin — the
+golden data is f64, so f32 divergence grows with step count and per-grid
+dynamics, not with engine choice.
+
+Usage: python experiments/golden-matrix/run.py [--device tpu] [--grids ...]
+Writes results.csv. Exit 0 iff every (grid, engine) passes its floor.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+REF = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+FLOORS = {"128x128": 2e-3, "128x256": 2.5e-3, "256x256": 3e-3,
+          "1024x1024": 1.5e-3}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--grids", nargs="*", default=list(FLOORS))
+    ap.add_argument("--num-steps", type=int, default=None,
+                    help="override full golden length (smoke runs)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lbm_tpu.core import io, state
+    from lbm_tpu.core.params import Obstacles, Params
+    from lbm_tpu.ops import d2q9, d2q9_pallas
+    from lbm_tpu.utils import profiling
+
+    profiling.enable_compilation_cache(
+        os.path.join(os.path.dirname(HERE), "..", ".jax_cache"))
+    platform = jax.devices()[0].platform
+
+    rows = ["grid,engine,platform,steps,max_rel_err,final_rel_err,floor,"
+            "seconds"]
+    ok = True
+    for grid in args.grids:
+        p = Params.from_file(f"{REF}/params/input_{grid}.params")
+        obs = Obstacles.from_file(f"{REF}/params/obstacles_{grid}.dat", p)
+        golden = io.read_av_vels(f"{REF}/check/{grid}.av_vels.dat")
+        if args.num_steps:
+            p = dataclasses.replace(p, max_iters=args.num_steps)
+        n = p.max_iters
+        f0 = jnp.asarray(state.initial_distributions(p, np.float32))
+        for name, fn in (
+            ("jax", lambda: d2q9.simulate(p, f0, obs.mask)),
+            ("pallas", lambda: d2q9_pallas.simulate(p, f0, obs.mask)),
+        ):
+            t0 = time.perf_counter()
+            _, av = fn()
+            av = np.asarray(av, np.float64)
+            dt = time.perf_counter() - t0
+            rel = np.abs(av - golden[:n]) / np.abs(golden[:n])
+            floor = FLOORS[grid]
+            passed = rel.max() < floor
+            ok &= passed
+            row = (f"{grid},{name},{platform},{n},{rel.max():.3e},"
+                   f"{rel[-1]:.3e},{floor:.1e},{dt:.2f}")
+            print(row + ("  PASS" if passed else "  FAIL"), flush=True)
+            rows.append(row)
+    with open(os.path.join(HERE, "results.csv"), "w") as fp:
+        fp.write("\n".join(rows) + "\n")
+    print("wrote results.csv")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
