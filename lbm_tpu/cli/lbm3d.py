@@ -32,6 +32,16 @@ def main(argv=None) -> int:
                         help="devices for --engine sharded (default: all)")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     parser.add_argument("--out-dir", default=".")
+    parser.add_argument("--checkpoint-every", type=int, default=None,
+                        metavar="N",
+                        help="write an atomic state checkpoint every N steps "
+                             "(engines jax|pallas|native; chunking is "
+                             "bit-identical to an uninterrupted run)")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="checkpoint file (default: "
+                             "<out-dir>/checkpoint_3d.npz)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the checkpoint file if it exists")
     args = parser.parse_args(argv)
 
     import time
@@ -47,15 +57,28 @@ def main(argv=None) -> int:
     from ..core import io
     from ..ops import d3q19
 
-    kw = dict(num_steps=args.num_steps, omega=args.omega,
-              density=args.density, accel=args.accel, engine=args.engine,
-              num_devices=args.num_devices)
-    f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
-    np.asarray(av)  # compile + warm
-    t0 = time.perf_counter()
-    f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
-    av_np = np.asarray(av, np.float64)
-    dt = time.perf_counter() - t0
+    if args.checkpoint_every or args.resume:
+        from ..models import lbm3d as lbm3d_model
+
+        ck = args.checkpoint or str(Path(args.out_dir) / "checkpoint_3d.npz")
+        Path(ck).parent.mkdir(parents=True, exist_ok=True)
+        f_final, av_np, dt = lbm3d_model.run_simulation_with_checkpoints(
+            args.nz, args.ny, args.nx, num_steps=args.num_steps,
+            checkpoint_path=ck,
+            checkpoint_every=args.checkpoint_every or args.num_steps,
+            omega=args.omega, density=args.density, accel=args.accel,
+            engine=args.engine, resume=args.resume)
+        av_np = np.asarray(av_np, np.float64)
+    else:
+        kw = dict(num_steps=args.num_steps, omega=args.omega,
+                  density=args.density, accel=args.accel, engine=args.engine,
+                  num_devices=args.num_devices)
+        f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
+        np.asarray(av)  # compile + warm
+        t0 = time.perf_counter()
+        f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
+        av_np = np.asarray(av, np.float64)
+        dt = time.perf_counter() - t0
 
     cells = args.nz * args.ny * args.nx
     print("==done==")

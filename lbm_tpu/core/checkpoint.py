@@ -72,3 +72,59 @@ def load(path: str | Path, expect: Params | None = None) -> Checkpoint:
             f"requested run ({expect})"
         )
     return ck
+
+
+# ---------------------------------------------------------------------------
+# 3-D (D3Q19) checkpoints — same atomic format, 3-D grid signature
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Checkpoint3D:
+    f: np.ndarray          # (19, nz, ny, nx) lattice at `step`
+    av_vels: np.ndarray    # per-step av_vels for steps [0, step)
+    step: int
+    shape: tuple           # (nz, ny, nx)
+    omega: float
+    density: float
+    accel: float
+
+
+def save3d(path: str | Path, f: np.ndarray, av_vels: np.ndarray, step: int,
+           *, omega: float, density: float, accel: float) -> None:
+    """Atomic write, like `save`, with the 3-D grid/physics signature."""
+    path = Path(path)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    f = np.asarray(f)
+    np.savez(
+        tmp, version=FORMAT_VERSION, kind="d3q19", f=f,
+        av_vels=np.asarray(av_vels, np.float64), step=int(step),
+        nz=f.shape[1], ny=f.shape[2], nx=f.shape[3],
+        omega=omega, density=density, accel=accel,
+    )
+    written = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    written.replace(path)
+
+
+def load3d(path: str | Path, expect_shape: tuple | None = None,
+           expect_physics: tuple | None = None) -> Checkpoint3D:
+    """expect_shape=(nz,ny,nx), expect_physics=(omega,density,accel):
+    mismatches raise rather than silently continuing a different run."""
+    with np.load(path) as z:
+        if int(z["version"]) != FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {z['version']}")
+        if str(z.get("kind", "")) != "d3q19":
+            raise ValueError(f"{path} is not a 3-D (d3q19) checkpoint")
+        ck = Checkpoint3D(
+            f=z["f"], av_vels=z["av_vels"], step=int(z["step"]),
+            shape=(int(z["nz"]), int(z["ny"]), int(z["nx"])),
+            omega=float(z["omega"]), density=float(z["density"]),
+            accel=float(z["accel"]),
+        )
+    if expect_shape is not None and tuple(expect_shape) != ck.shape:
+        raise ValueError(f"checkpoint grid {ck.shape} != requested {tuple(expect_shape)}")
+    if expect_physics is not None and tuple(expect_physics) != (
+            ck.omega, ck.density, ck.accel):
+        raise ValueError(
+            f"checkpoint physics (omega,density,accel)="
+            f"{(ck.omega, ck.density, ck.accel)} != requested {tuple(expect_physics)}")
+    return ck

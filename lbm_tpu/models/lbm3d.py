@@ -1,0 +1,139 @@
+"""End-to-end D3Q19 drivers: chunked checkpoint/resume runs.
+
+The 3-D counterpart of models/lbm.run_simulation_with_checkpoints (the
+2-D docstring's contract applies: chunking is bit-identical to one
+uninterrupted run of the same engine config; atomic .npz checkpoints;
+resume validates the grid/physics signature). Engines: 'jax', 'pallas'
+(auto K and shape config), 'native' (serial C++ oracle, no JAX touched).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..core import checkpoint
+from ..ops import d3q19
+
+
+def run_simulation_with_checkpoints(
+    nz: int, ny: int, nx: int, *,
+    num_steps: int,
+    checkpoint_path: str | Path,
+    checkpoint_every: int,
+    omega: float = 1.85,
+    density: float = 0.1,
+    accel: float = 0.005,
+    obstacle_mask=None,
+    dtype=np.float32,
+    engine: str = "jax",
+    resume: bool = False,
+    k_steps: int | None = None,
+):
+    """Returns (f_final, av_vels, compute_seconds). k_steps=None picks the
+    deepest K dividing the total, the chunk size and nz (the Pallas kernel's
+    constraints), so any step count the plain CLI accepts also checkpoints."""
+    if obstacle_mask is None:
+        obstacle_mask = np.zeros((nz, ny, nx), bool)
+        obstacle_mask[0] = True
+        obstacle_mask[-1] = True
+    mask_np = np.asarray(obstacle_mask, bool)
+    num_free = int((~mask_np).sum())
+    accel_plane = nz - 2
+    np_dtype = np.dtype(dtype)
+
+    if engine == "pallas" and k_steps is None:
+        k_steps = next(k for k in (2, 1)
+                       if num_steps % k == 0 and checkpoint_every % k == 0
+                       and nz % k == 0)
+    if engine == "pallas" and (num_steps % k_steps or checkpoint_every % k_steps):
+        raise ValueError(
+            f"pallas checkpointing needs num_steps ({num_steps}) and "
+            f"checkpoint_every ({checkpoint_every}) divisible by k_steps "
+            f"({k_steps}) for bit-exact chunking")
+
+    ck_path = Path(checkpoint_path)
+    if resume and ck_path.exists():
+        ck = checkpoint.load3d(ck_path, expect_shape=(nz, ny, nx),
+                               expect_physics=(omega, density, accel))
+        f_host = np.asarray(ck.f, np_dtype)
+        start = ck.step
+        if start > num_steps:
+            raise ValueError(
+                f"checkpoint is at step {start}, beyond the requested "
+                f"{num_steps} steps — nothing to resume")
+        if engine == "pallas" and start % k_steps:
+            raise ValueError(
+                f"checkpoint step {start} is not a multiple of k_steps "
+                f"({k_steps}) — resume with the engine config that wrote it")
+        av_parts = [np.asarray(ck.av_vels, np.float64)]
+    else:
+        f_host = d3q19.initial_distributions(nz, ny, nx, density,
+                                             np_dtype.type)
+        start = 0
+        av_parts = []
+
+    if engine == "native":
+        from ..ops import d3q19_native
+
+        f = np.ascontiguousarray(f_host)
+
+        def run_chunk(f, n):
+            tot = d3q19_native.run(f, mask_np, num_steps=n, omega=omega,
+                                   density=density, accel=accel,
+                                   accel_plane=accel_plane)
+            return f, tot
+
+        def gather(f):
+            return f
+
+        def divide(tot):
+            return (tot.astype(np_dtype) / np_dtype.type(num_free)
+                    ).astype(np.float64)
+
+    elif engine in ("jax", "pallas"):
+        import jax.numpy as jnp
+
+        f = jnp.asarray(f_host)
+        mask = jnp.asarray(mask_np)
+        mask_f = mask.astype(f.dtype)
+        amask = d3q19.accel_plane_mask(nz, ny, nx, accel_plane, dtype=f.dtype)
+        if engine == "pallas":
+            from ..ops import d3q19_pallas
+
+            bz, by = d3q19_pallas.choose_config(nz, ny, nx, k_steps)
+
+        def run_chunk(f, n):
+            if engine == "jax":
+                return d3q19.run(f, mask, amask, num_steps=n, omega=omega,
+                                 density=density, accel=accel)
+            return d3q19_pallas.run(
+                f, mask_f, num_steps=n, k_steps=k_steps, omega=omega,
+                density=density, accel=accel, accel_plane=accel_plane,
+                bz=bz, by=by)
+
+        def gather(f):
+            return np.asarray(f)
+
+        def divide(tot):
+            return np.asarray(
+                np.asarray(tot, np.float64)
+                .astype(np_dtype) / np_dtype.type(num_free), np.float64)
+
+    else:
+        raise ValueError(
+            f"unknown engine {engine!r} for 3-D checkpointing "
+            "(jax | pallas | native)")
+
+    t0 = time.perf_counter()
+    while start < num_steps:
+        n = min(checkpoint_every, num_steps - start)
+        f, tot = run_chunk(f, n)
+        av_parts.append(divide(np.asarray(tot, np.float64)))
+        start += n
+        checkpoint.save3d(ck_path, gather(f), np.concatenate(av_parts),
+                          start, omega=omega, density=density, accel=accel)
+    compute_seconds = time.perf_counter() - t0
+    return gather(f), np.concatenate(av_parts), compute_seconds

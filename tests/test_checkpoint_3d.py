@@ -1,0 +1,85 @@
+"""Checkpoint/resume for the 3-D engines (models/lbm3d.py).
+
+Same contract as the 2-D suite (test_checkpoint.py): chunked runs are
+bit-identical to uninterrupted runs of the same engine config; resume
+continues exactly; signature mismatches are rejected."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lbm_tpu.core import checkpoint
+from lbm_tpu.models import lbm3d as lbm3d_model
+from lbm_tpu.ops import d3q19_native
+
+SHAPE = (8, 8, 16)
+
+
+def run(tmp_path, engine, every, steps=12, resume=False, name="ck.npz"):
+    return lbm3d_model.run_simulation_with_checkpoints(
+        *SHAPE, num_steps=steps, checkpoint_path=tmp_path / name,
+        checkpoint_every=every, engine=engine, resume=resume)
+
+
+ENGINES = ["jax", "pallas"] + (["native"] if d3q19_native.available() else [])
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_chunked_equals_uninterrupted(tmp_path, engine):
+    f1, av1, _ = run(tmp_path, engine, every=12, name="a.npz")
+    f2, av2, _ = run(tmp_path, engine, every=4, name="b.npz")
+    assert np.array_equal(av1, av2)
+    assert np.array_equal(f1, f2)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_resume_continues_exactly(tmp_path, engine):
+    f_full, av_full, _ = run(tmp_path, engine, every=4, steps=12, name="f.npz")
+    # interrupted: run only 8 steps, then resume to 12
+    run(tmp_path, engine, every=4, steps=8, name="r.npz")
+    f_res, av_res, _ = run(tmp_path, engine, every=4, steps=12, resume=True,
+                           name="r.npz")
+    assert np.array_equal(av_res, av_full)
+    assert np.array_equal(f_res, f_full)
+
+
+def test_mismatched_signature_rejected(tmp_path):
+    run(tmp_path, "jax", every=4, steps=4)
+    with pytest.raises(ValueError, match="grid"):
+        lbm3d_model.run_simulation_with_checkpoints(
+            8, 8, 32, num_steps=8, checkpoint_path=tmp_path / "ck.npz",
+            checkpoint_every=4, engine="jax", resume=True)
+    with pytest.raises(ValueError, match="physics"):
+        lbm3d_model.run_simulation_with_checkpoints(
+            *SHAPE, num_steps=8, checkpoint_path=tmp_path / "ck.npz",
+            checkpoint_every=4, engine="jax", resume=True, omega=1.2)
+
+
+def test_2d_checkpoint_rejected_by_3d_loader(tmp_path):
+    from lbm_tpu.core.params import Params
+
+    p = Params(nx=16, ny=8, max_iters=4, reynolds_dim=10, density=0.1,
+               accel=0.005, omega=1.85)
+    checkpoint.save(tmp_path / "2d.npz", np.zeros((9, 8, 16)), np.zeros(4),
+                    4, p)
+    with pytest.raises(ValueError, match="not a 3-D"):
+        checkpoint.load3d(tmp_path / "2d.npz")
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    base = [sys.executable, "-m", "lbm_tpu.cli.lbm3d", "--nz", "8", "--ny",
+            "8", "--nx", "16", "--device", "cpu", "--out-dir", str(tmp_path)]
+    r1 = subprocess.run(base + ["-n", "6", "--checkpoint-every", "3"],
+                        capture_output=True, text=True, timeout=300,
+                        cwd=Path(__file__).parent.parent)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(base + ["-n", "12", "--checkpoint-every", "3",
+                                "--resume"],
+                        capture_output=True, text=True, timeout=300,
+                        cwd=Path(__file__).parent.parent)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    av = np.loadtxt(tmp_path / "av_vels_3d.dat", usecols=1, delimiter="\t")
+    assert av.size == 12
