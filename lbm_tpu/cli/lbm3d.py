@@ -42,6 +42,10 @@ def main(argv=None) -> int:
                              "<out-dir>/checkpoint_3d.npz)")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the checkpoint file if it exists")
+    parser.add_argument("--final-state-slice", default=None, metavar="Z",
+                        help="also write plane z=Z (or 'mid') in the exact "
+                             "2-D final_state.dat format, consumable by "
+                             "verify/check.py and cli/flow_viz.py")
     args = parser.parse_args(argv)
 
     import time
@@ -91,6 +95,17 @@ def main(argv=None) -> int:
     out.mkdir(parents=True, exist_ok=True)
     io.write_av_vels(out / "av_vels_3d.dat", av_np)
     print(f"wrote {out / 'av_vels_3d.dat'}")
+    if args.final_state_slice is not None:
+        from ..models import lbm3d as lbm3d_model
+
+        z = (args.nz // 2 if args.final_state_slice == "mid"
+             else int(args.final_state_slice))
+        mask = np.zeros((args.nz, args.ny, args.nx), bool)
+        mask[0] = mask[-1] = True  # the default wall planes of simulate()
+        fs = out / f"final_state_3d_z{z}.dat"
+        lbm3d_model.write_final_state_slice(fs, np.asarray(f_final), mask, z,
+                                            args.density)
+        print(f"wrote {fs}")
     return 0
 
 

@@ -137,3 +137,53 @@ def run_simulation_with_checkpoints(
                           start, omega=omega, density=density, accel=accel)
     compute_seconds = time.perf_counter() - t0
     return gather(f), np.concatenate(av_parts), compute_seconds
+
+
+def final_state_slice_fields(f: np.ndarray, mask: np.ndarray, z: int,
+                             density: float):
+    """Macroscopic (u_x, u_y, u, pressure, obstacle) on plane z.
+
+    u_x/u_y are the in-plane velocity components; `u` is the full 3-D speed
+    |u| (so the checker column keeps its physical meaning); pressure is
+    rho * c_s^2 with the 2-D writer's obstacle conventions
+    (core/io.final_state_fields)."""
+    dtype = f.dtype
+    fz = np.asarray(f[:, z])
+    rho = fz.sum(axis=0, dtype=dtype)
+    ex, ey, ez = d3q19.E[:, 2], d3q19.E[:, 1], d3q19.E[:, 0]
+    u_x = np.tensordot(ex.astype(dtype), fz, axes=1) / rho
+    u_y = np.tensordot(ey.astype(dtype), fz, axes=1) / rho
+    u_z = np.tensordot(ez.astype(dtype), fz, axes=1) / rho
+    u = np.sqrt(u_x * u_x + u_y * u_y + u_z * u_z)
+    c_sq = np.asarray(1.0, dtype) / np.asarray(3.0, dtype)
+    pressure = rho * c_sq
+    obs = np.asarray(mask[z], bool)
+    zero = np.asarray(0.0, dtype)
+    u_x = np.where(obs, zero, u_x)
+    u_y = np.where(obs, zero, u_y)
+    u = np.where(obs, zero, u)
+    pressure = np.where(obs, np.asarray(density, dtype) * c_sq, pressure)
+    return u_x, u_y, u, pressure, obs
+
+
+def write_final_state_slice(path, f: np.ndarray, mask: np.ndarray, z: int,
+                            density: float) -> None:
+    """Write plane z in the exact 2-D final_state.dat format
+    (`x y u_x u_y u pressure obstacle`) so verify/check.py and
+    cli/flow_viz.py consume 3-D results unchanged."""
+    from ..core import io
+
+    u_x, u_y, u, pressure, obs = final_state_slice_fields(f, mask, z, density)
+    native = io._try_native()
+    if native is not None:
+        native.write_final_state(str(path), u_x, u_y, u, pressure, obs)
+        return
+    ny, nx = obs.shape
+    with open(path, "w") as fh:
+        for jj in range(ny):
+            fh.writelines(
+                f"{ii} {jj} {float(u_x[jj, ii]):.12E} {float(u_y[jj, ii]):.12E}"
+                f" {float(u[jj, ii]):.12E} {float(pressure[jj, ii]):.12E}"
+                f" {int(obs[jj, ii])}\n"
+                for ii in range(nx)
+            )

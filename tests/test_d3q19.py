@@ -188,3 +188,35 @@ def test_plan_planes_rejects_too_many_shards():
 
     with pytest.raises(ValueError, match="valid planes"):
         pallas_sharded_3d.plan_planes(9, 8, 2)
+
+
+def test_final_state_slice_writer(tmp_path):
+    """The z-slice writer emits the exact 2-D final_state format with
+    correct 3-D macroscopics (u = full 3-D speed, in-plane u_x/u_y)."""
+    from lbm_tpu.core import io as io_lib
+    from lbm_tpu.models import lbm3d as lbm3d_model
+
+    nz, ny, nx = 8, 8, 16
+    f, _ = d3q19.simulate(nz, ny, nx, num_steps=10)
+    f = np.asarray(f)
+    mask = np.zeros((nz, ny, nx), bool)
+    mask[0] = mask[-1] = True
+    z = nz - 2
+    path = tmp_path / "fs.dat"
+    lbm3d_model.write_final_state_slice(path, f, mask, z, 0.1)
+    rows = io_lib.read_final_state(path)
+    assert rows.shape == (ny * nx, 7)
+    # independent macroscopics at one cell
+    jj, ii = 3, 5
+    fz = f[:, z, jj, ii].astype(np.float64)
+    rho = fz.sum()
+    u_vec = (d3q19.E.astype(np.float64).T @ fz) / rho  # (dz, dy, dx)
+    row = rows[jj * nx + ii]
+    assert row[0] == ii and row[1] == jj
+    np.testing.assert_allclose(row[2], u_vec[2], rtol=1e-5)  # u_x
+    np.testing.assert_allclose(row[3], u_vec[1], rtol=1e-5)  # u_y
+    np.testing.assert_allclose(row[4], np.linalg.norm(u_vec), rtol=1e-5)
+    # obstacle plane: zero velocity, obstacle flag set
+    lbm3d_model.write_final_state_slice(path, f, mask, 0, 0.1)
+    wall = io_lib.read_final_state(path)
+    assert (wall[:, 2:5] == 0).all() and (wall[:, 6] == 1).all()
