@@ -71,7 +71,8 @@ def main(argv=None) -> int:
             checkpoint_path=ck,
             checkpoint_every=args.checkpoint_every or args.num_steps,
             omega=args.omega, density=args.density, accel=args.accel,
-            engine=args.engine, resume=args.resume)
+            engine=args.engine, resume=args.resume,
+            num_devices=args.num_devices)
         av_np = np.asarray(av_np, np.float64)
     else:
         kw = dict(num_steps=args.num_steps, omega=args.omega,

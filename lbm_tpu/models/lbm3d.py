@@ -31,10 +31,14 @@ def run_simulation_with_checkpoints(
     engine: str = "jax",
     resume: bool = False,
     k_steps: int | None = None,
+    num_devices: int | None = None,
 ):
     """Returns (f_final, av_vels, compute_seconds). k_steps=None picks the
     deepest K dividing the total, the chunk size and nz (the Pallas kernel's
-    constraints), so any step count the plain CLI accepts also checkpoints."""
+    constraints), so any step count the plain CLI accepts also checkpoints.
+    engine='sharded-pallas' checkpoints the gathered GLOBAL state (valid
+    planes only), so a checkpoint written on one z-mesh resumes on any
+    other, like the 2-D multi-chip checkpointing."""
     if obstacle_mask is None:
         obstacle_mask = np.zeros((nz, ny, nx), bool)
         obstacle_mask[0] = True
@@ -44,11 +48,12 @@ def run_simulation_with_checkpoints(
     accel_plane = nz - 2
     np_dtype = np.dtype(dtype)
 
-    if engine == "pallas" and k_steps is None:
+    pallas_like = engine in ("pallas", "sharded-pallas")
+    if pallas_like and k_steps is None:
         k_steps = next(k for k in (2, 1)
                        if num_steps % k == 0 and checkpoint_every % k == 0
                        and nz % k == 0)
-    if engine == "pallas" and (num_steps % k_steps or checkpoint_every % k_steps):
+    if pallas_like and (num_steps % k_steps or checkpoint_every % k_steps):
         raise ValueError(
             f"pallas checkpointing needs num_steps ({num_steps}) and "
             f"checkpoint_every ({checkpoint_every}) divisible by k_steps "
@@ -64,7 +69,7 @@ def run_simulation_with_checkpoints(
             raise ValueError(
                 f"checkpoint is at step {start}, beyond the requested "
                 f"{num_steps} steps — nothing to resume")
-        if engine == "pallas" and start % k_steps:
+        if pallas_like and start % k_steps:
             raise ValueError(
                 f"checkpoint step {start} is not a multiple of k_steps "
                 f"({k_steps}) — resume with the engine config that wrote it")
@@ -122,10 +127,47 @@ def run_simulation_with_checkpoints(
                 np.asarray(tot, np.float64)
                 .astype(np_dtype) / np_dtype.type(num_free), np.float64)
 
+    elif engine == "sharded-pallas":
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh as mesh_lib, pallas_sharded_3d
+
+        mesh = pallas_sharded_3d.make_z_mesh(num_devices)
+        (n_shards,) = mesh.devices.shape
+        _h, pad = pallas_sharded_3d.plan_planes(nz, n_shards, k_steps)
+        f_np = np.asarray(f_host)
+        if pad:
+            f_np = np.concatenate(
+                [f_np, d3q19.initial_distributions(pad, ny, nx, density,
+                                                   np_dtype.type)], axis=1)
+        f = jax.device_put(
+            jnp.asarray(f_np),
+            NamedSharding(mesh, P(None, mesh_lib.ROW_AXIS, None, None)))
+        mask_ext = jax.device_put(
+            jnp.asarray(pallas_sharded_3d.extended_mask(
+                mask_np, n_shards, k_steps), f.dtype),
+            NamedSharding(mesh, P(mesh_lib.ROW_AXIS, None, None)))
+
+        def run_chunk(f, n):
+            return pallas_sharded_3d.run(
+                f, mask_ext, mesh=mesh, num_steps=n, k_steps=k_steps,
+                omega=omega, density=density, accel=accel,
+                accel_plane=accel_plane, nz=nz)
+
+        def gather(f):
+            return np.asarray(f)[:, :nz]
+
+        def divide(tot):
+            return np.asarray(
+                np.asarray(tot, np.float64)
+                .astype(np_dtype) / np_dtype.type(num_free), np.float64)
+
     else:
         raise ValueError(
             f"unknown engine {engine!r} for 3-D checkpointing "
-            "(jax | pallas | native)")
+            "(jax | pallas | sharded-pallas | native)")
 
     t0 = time.perf_counter()
     while start < num_steps:
