@@ -108,6 +108,23 @@ def main():
                    f"{t_ici + t_hbm:.2e},{t_hbm:.2e},{t_ici:.2e},{pct:.1f},0")
             print(row)
             out.write(row + "\n")
+
+        # 3-D comm-avoiding path (parallel/pallas_sharded_3d): per K=2 steps
+        # each z-shard exchanges 2 x K x 19 ghost (ny, nx) planes over ICI
+        # while the local kernel advances at the measured ~2,700 MLUPS
+        # (experiments/lbm3d-perf) — compute time, not HBM, is the
+        # denominator because the kernel is at its roofline.
+        K = 2
+        for (nz, ny3, nx3), shards in (((64, 128, 256), 4),
+                                       ((128, 256, 256), 8)):
+            ici_b = 2 * K * 19 * ny3 * nx3 * 4
+            t_ici = ici_b / (ICI_GBPS * 1e9)
+            t_cmp = K * (nz // shards) * ny3 * nx3 / 2.7e9
+            pct = 100 * t_ici / (t_ici + t_cmp)
+            row = (f"model3d,tpu-v5e-model,{nz}x{ny3}x{nx3},z{shards},{K},"
+                   f"{t_ici + t_cmp:.2e},{t_cmp:.2e},{t_ici:.2e},{pct:.1f},0")
+            print(row)
+            out.write(row + "\n")
     print(f"wrote {out_path}")
 
 
