@@ -28,12 +28,16 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 FLOORS = {"128x128": 2e-3, "128x256": 2.5e-3, "256x256": 3e-3,
           "1024x1024": 1.5e-3}
+# default scope: the grids flagship-golden-run does NOT cover (pass
+# --grids 1024x1024 explicitly to duplicate the 20k-step flagship here)
+DEFAULT_GRIDS = ["128x128", "128x256", "256x256"]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
-    ap.add_argument("--grids", nargs="*", default=list(FLOORS))
+    ap.add_argument("--grids", nargs="*", default=DEFAULT_GRIDS,
+                    choices=list(FLOORS))
     ap.add_argument("--num-steps", type=int, default=None,
                     help="override full golden length (smoke runs)")
     args = ap.parse_args()

@@ -61,36 +61,52 @@ def main(argv=None) -> int:
     from ..core import io
     from ..ops import d3q19
 
+    cells = args.nz * args.ny * args.nx
     if args.checkpoint_every or args.resume:
+        if args.engine == "sharded":
+            parser.error("--checkpoint-every/--resume support engines "
+                         "jax|pallas|native|sharded-pallas (the implicit "
+                         "'sharded' engine has no chunked runner — use "
+                         "sharded-pallas)")
         from ..models import lbm3d as lbm3d_model
 
         ck = args.checkpoint or str(Path(args.out_dir) / "checkpoint_3d.npz")
         Path(ck).parent.mkdir(parents=True, exist_ok=True)
-        f_final, av_np, dt = lbm3d_model.run_simulation_with_checkpoints(
-            args.nz, args.ny, args.nx, num_steps=args.num_steps,
-            checkpoint_path=ck,
-            checkpoint_every=args.checkpoint_every or args.num_steps,
-            omega=args.omega, density=args.density, accel=args.accel,
-            engine=args.engine, resume=args.resume,
-            num_devices=args.num_devices)
+        f_final, av_np, dt, steps_run = (
+            lbm3d_model.run_simulation_with_checkpoints(
+                args.nz, args.ny, args.nx, num_steps=args.num_steps,
+                checkpoint_path=ck,
+                checkpoint_every=args.checkpoint_every or args.num_steps,
+                omega=args.omega, density=args.density, accel=args.accel,
+                engine=args.engine, resume=args.resume,
+                num_devices=args.num_devices))
         av_np = np.asarray(av_np, np.float64)
+        # dt covers the steps actually executed this invocation and (for
+        # the jitted engines) includes their cold compile — label honestly
+        time_label = "Time (this run, incl. compile)"
+        mlups = steps_run * cells / dt / 1e6 if steps_run else 0.0
+        if not steps_run:
+            print(f"checkpoint already at step {args.num_steps} — "
+                  "nothing to run")
     else:
         kw = dict(num_steps=args.num_steps, omega=args.omega,
                   density=args.density, accel=args.accel, engine=args.engine,
                   num_devices=args.num_devices)
-        f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
-        np.asarray(av)  # compile + warm
+        if args.engine != "native":
+            f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
+            np.asarray(av)  # compile + warm (nothing to warm for native)
         t0 = time.perf_counter()
         f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
         av_np = np.asarray(av, np.float64)
         dt = time.perf_counter() - t0
+        time_label = "Total compute time"
+        mlups = args.num_steps * cells / dt / 1e6
 
-    cells = args.nz * args.ny * args.nx
     print("==done==")
     print(f"Final mean |u|:\t\t{av_np[-1]:.12E}")
-    print(f"Total compute time:\t{dt:.6f} (s)")
+    print(f"{time_label}:\t{dt:.6f} (s)")
     print(f"Total density:\t\t{float(np.asarray(f_final).sum(dtype=np.float64)):.6E}")
-    print(f"MLUPS:\t\t\t{args.num_steps * cells / dt / 1e6:.1f}")
+    print(f"MLUPS:\t\t\t{mlups:.1f}")
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)

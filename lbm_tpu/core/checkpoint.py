@@ -34,22 +34,24 @@ class Checkpoint:
         return self.step
 
 
+def _atomic_savez(path: Path, **arrays) -> None:
+    """tmp-write + rename: a crash mid-save never corrupts the previous
+    checkpoint. (np.savez appends .npz to names without it — handled.)"""
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    np.savez(tmp, **arrays)
+    written = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    written.replace(path)
+
+
 def save(path: str | Path, f: np.ndarray, av_vels: np.ndarray, step: int,
          params: Params) -> None:
-    """Atomic write (tmp + rename): a crash mid-save never corrupts the
-    previous checkpoint."""
-    path = Path(path)
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    np.savez(
-        tmp, version=FORMAT_VERSION, f=np.asarray(f),
+    _atomic_savez(
+        Path(path), version=FORMAT_VERSION, f=np.asarray(f),
         av_vels=np.asarray(av_vels, np.float64), step=int(step),
         nx=params.nx, ny=params.ny, max_iters=params.max_iters,
         reynolds_dim=params.reynolds_dim, density=params.density,
         accel=params.accel, omega=params.omega,
     )
-    # np.savez appends .npz to names without it
-    written = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
-    written.replace(path)
 
 
 def load(path: str | Path, expect: Params | None = None) -> Checkpoint:
@@ -92,17 +94,13 @@ class Checkpoint3D:
 def save3d(path: str | Path, f: np.ndarray, av_vels: np.ndarray, step: int,
            *, omega: float, density: float, accel: float) -> None:
     """Atomic write, like `save`, with the 3-D grid/physics signature."""
-    path = Path(path)
-    tmp = path.with_suffix(path.suffix + ".tmp")
     f = np.asarray(f)
-    np.savez(
-        tmp, version=FORMAT_VERSION, kind="d3q19", f=f,
+    _atomic_savez(
+        Path(path), version=FORMAT_VERSION, kind="d3q19", f=f,
         av_vels=np.asarray(av_vels, np.float64), step=int(step),
         nz=f.shape[1], ny=f.shape[2], nx=f.shape[3],
         omega=omega, density=density, accel=accel,
     )
-    written = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
-    written.replace(path)
 
 
 def load3d(path: str | Path, expect_shape: tuple | None = None,

@@ -63,10 +63,12 @@ def final_state_fields(params: Params, obstacle_mask: np.ndarray, f: np.ndarray)
     return u_x, u_y, u, pressure
 
 
-def write_final_state(
-    path: str | Path, params: Params, obstacle_mask: np.ndarray, f: np.ndarray
-) -> None:
-    u_x, u_y, u, pressure = final_state_fields(params, obstacle_mask, f)
+def write_final_state_arrays(path: str | Path, u_x, u_y, u, pressure,
+                             obstacle_mask) -> None:
+    """Write pre-computed per-cell fields in the exact final_state.dat
+    format (`x y u_x u_y u pressure obstacle`, %.12E). The single home of
+    the row format — used by the 2-D writer below and the 3-D slice
+    writer (models/lbm3d.py). Native fast path when available."""
     ny, nx = obstacle_mask.shape
     native = _try_native()
     if native is not None:
@@ -80,6 +82,13 @@ def write_final_state(
                 f" {float(u_r[ii]):.12E} {float(p_r[ii]):.12E} {int(o_r[ii])}\n"
                 for ii in range(nx)
             )
+
+
+def write_final_state(
+    path: str | Path, params: Params, obstacle_mask: np.ndarray, f: np.ndarray
+) -> None:
+    u_x, u_y, u, pressure = final_state_fields(params, obstacle_mask, f)
+    write_final_state_arrays(path, u_x, u_y, u, pressure, obstacle_mask)
 
 
 def read_final_state(path: str | Path) -> np.ndarray:

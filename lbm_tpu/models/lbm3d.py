@@ -4,7 +4,8 @@ The 3-D counterpart of models/lbm.run_simulation_with_checkpoints (the
 2-D docstring's contract applies: chunking is bit-identical to one
 uninterrupted run of the same engine config; atomic .npz checkpoints;
 resume validates the grid/physics signature). Engines: 'jax', 'pallas'
-(auto K and shape config), 'native' (serial C++ oracle, no JAX touched).
+(auto K and shape config), 'native' (serial C++ oracle: no JAX compute,
+no backend initialisation, no compile), 'sharded-pallas' (multi-chip).
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from pathlib import Path
 import numpy as np
 
 from ..core import checkpoint
-from ..ops import d3q19
+from ..ops import d3q19_lattice  # numpy-only; keeps engine='native' JAX-free
 
 
 def run_simulation_with_checkpoints(
@@ -33,7 +34,7 @@ def run_simulation_with_checkpoints(
     k_steps: int | None = None,
     num_devices: int | None = None,
 ):
-    """Returns (f_final, av_vels, compute_seconds). k_steps=None picks the
+    """Returns (f_final, av_vels, compute_seconds, steps_run). k_steps=None picks the
     deepest K dividing the total, the chunk size and nz (the Pallas kernel's
     constraints), so any step count the plain CLI accepts also checkpoints.
     engine='sharded-pallas' checkpoints the gathered GLOBAL state (valid
@@ -75,8 +76,8 @@ def run_simulation_with_checkpoints(
                 f"({k_steps}) — resume with the engine config that wrote it")
         av_parts = [np.asarray(ck.av_vels, np.float64)]
     else:
-        f_host = d3q19.initial_distributions(nz, ny, nx, density,
-                                             np_dtype.type)
+        f_host = d3q19_lattice.initial_distributions(nz, ny, nx, density,
+                                                     np_dtype.type)
         start = 0
         av_parts = []
 
@@ -100,6 +101,8 @@ def run_simulation_with_checkpoints(
 
     elif engine in ("jax", "pallas"):
         import jax.numpy as jnp
+
+        from ..ops import d3q19
 
         f = jnp.asarray(f_host)
         mask = jnp.asarray(mask_np)
@@ -140,7 +143,7 @@ def run_simulation_with_checkpoints(
         f_np = np.asarray(f_host)
         if pad:
             f_np = np.concatenate(
-                [f_np, d3q19.initial_distributions(pad, ny, nx, density,
+                [f_np, d3q19_lattice.initial_distributions(pad, ny, nx, density,
                                                    np_dtype.type)], axis=1)
         f = jax.device_put(
             jnp.asarray(f_np),
@@ -169,6 +172,7 @@ def run_simulation_with_checkpoints(
             f"unknown engine {engine!r} for 3-D checkpointing "
             "(jax | pallas | sharded-pallas | native)")
 
+    steps_run = num_steps - start
     t0 = time.perf_counter()
     while start < num_steps:
         n = min(checkpoint_every, num_steps - start)
@@ -178,7 +182,7 @@ def run_simulation_with_checkpoints(
         checkpoint.save3d(ck_path, gather(f), np.concatenate(av_parts),
                           start, omega=omega, density=density, accel=accel)
     compute_seconds = time.perf_counter() - t0
-    return gather(f), np.concatenate(av_parts), compute_seconds
+    return gather(f), np.concatenate(av_parts), compute_seconds, steps_run
 
 
 def final_state_slice_fields(f: np.ndarray, mask: np.ndarray, z: int,
@@ -192,7 +196,8 @@ def final_state_slice_fields(f: np.ndarray, mask: np.ndarray, z: int,
     dtype = f.dtype
     fz = np.asarray(f[:, z])
     rho = fz.sum(axis=0, dtype=dtype)
-    ex, ey, ez = d3q19.E[:, 2], d3q19.E[:, 1], d3q19.E[:, 0]
+    ex, ey, ez = (d3q19_lattice.E[:, 2], d3q19_lattice.E[:, 1],
+                  d3q19_lattice.E[:, 0])
     u_x = np.tensordot(ex.astype(dtype), fz, axes=1) / rho
     u_y = np.tensordot(ey.astype(dtype), fz, axes=1) / rho
     u_z = np.tensordot(ez.astype(dtype), fz, axes=1) / rho
@@ -216,16 +221,4 @@ def write_final_state_slice(path, f: np.ndarray, mask: np.ndarray, z: int,
     from ..core import io
 
     u_x, u_y, u, pressure, obs = final_state_slice_fields(f, mask, z, density)
-    native = io._try_native()
-    if native is not None:
-        native.write_final_state(str(path), u_x, u_y, u, pressure, obs)
-        return
-    ny, nx = obs.shape
-    with open(path, "w") as fh:
-        for jj in range(ny):
-            fh.writelines(
-                f"{ii} {jj} {float(u_x[jj, ii]):.12E} {float(u_y[jj, ii]):.12E}"
-                f" {float(u[jj, ii]):.12E} {float(pressure[jj, ii]):.12E}"
-                f" {int(obs[jj, ii])}\n"
-                for ii in range(nx)
-            )
+    io.write_final_state_arrays(path, u_x, u_y, u, pressure, obs)

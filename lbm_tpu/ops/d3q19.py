@@ -20,28 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_E = [(0, 0, 0)]
-_E += [(0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0), (1, 0, 0), (-1, 0, 0)]
-_E += [
-    (0, 1, 1), (0, 1, -1), (0, -1, 1), (0, -1, -1),
-    (1, 0, 1), (1, 0, -1), (-1, 0, 1), (-1, 0, -1),
-    (1, 1, 0), (1, -1, 0), (-1, 1, 0), (-1, -1, 0),
-]
-E = np.array(_E, dtype=np.int32)  # (19, 3) as (dz, dy, dx)
-W = np.array([1 / 3] + [1 / 18] * 6 + [1 / 36] * 12)
-OPPOSITE = np.array(
-    [int(np.where((E == -E[k]).all(axis=1))[0][0]) for k in range(19)],
-    dtype=np.int32,
+# lattice constants + init live in the numpy-only d3q19_lattice module
+# (shared with the no-JAX native oracle); re-exported here for callers
+from .d3q19_lattice import (  # noqa: F401
+    E, NUM_SPEEDS, OPPOSITE, W, initial_distributions,
 )
-NUM_SPEEDS = 19
-
-
-def initial_distributions(nz: int, ny: int, nx: int, density: float = 0.1,
-                          dtype=np.float32) -> np.ndarray:
-    f = np.empty((NUM_SPEEDS, nz, ny, nx), dtype=dtype)
-    for k in range(NUM_SPEEDS):
-        f[k] = dtype(density * W[k])
-    return f
 
 
 def equilibrium(rho, u_x, u_y, u_z) -> jax.Array:

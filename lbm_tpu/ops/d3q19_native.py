@@ -77,9 +77,10 @@ def simulate(nz: int, ny: int, nx: int, *, num_steps: int,
     """Same contract as d3q19.simulate (walls at z=0/nz-1, accelerated
     plane at nz-2) on the native serial engine; returns numpy arrays.
     Does not mutate caller state (it builds its own)."""
-    from . import d3q19
+    from . import d3q19_lattice
 
-    f = d3q19.initial_distributions(nz, ny, nx, density, np.dtype(dtype).type)
+    f = d3q19_lattice.initial_distributions(nz, ny, nx, density,
+                                            np.dtype(dtype).type)
     if obstacle_mask is None:
         obstacle_mask = np.zeros((nz, ny, nx), bool)
         obstacle_mask[0] = True

@@ -29,18 +29,18 @@ ENGINES = ["jax", "pallas"] + (["native"] if d3q19_native.available() else [])
 
 @pytest.mark.parametrize("engine", ENGINES)
 def test_chunked_equals_uninterrupted(tmp_path, engine):
-    f1, av1, _ = run(tmp_path, engine, every=12, name="a.npz")
-    f2, av2, _ = run(tmp_path, engine, every=4, name="b.npz")
+    f1, av1, *_ = run(tmp_path, engine, every=12, name="a.npz")
+    f2, av2, *_ = run(tmp_path, engine, every=4, name="b.npz")
     assert np.array_equal(av1, av2)
     assert np.array_equal(f1, f2)
 
 
 @pytest.mark.parametrize("engine", ENGINES)
 def test_resume_continues_exactly(tmp_path, engine):
-    f_full, av_full, _ = run(tmp_path, engine, every=4, steps=12, name="f.npz")
+    f_full, av_full, *_ = run(tmp_path, engine, every=4, steps=12, name="f.npz")
     # interrupted: run only 8 steps, then resume to 12
     run(tmp_path, engine, every=4, steps=8, name="r.npz")
-    f_res, av_res, _ = run(tmp_path, engine, every=4, steps=12, resume=True,
+    f_res, av_res, *_ = run(tmp_path, engine, every=4, steps=12, resume=True,
                            name="r.npz")
     assert np.array_equal(av_res, av_full)
     assert np.array_equal(f_res, f_full)
@@ -94,10 +94,10 @@ def _needs_devices(n=8):
 
 def test_sharded_pallas_chunked_equals_uninterrupted(tmp_path):
     _needs_devices()
-    f1, av1, _ = lbm3d_model.run_simulation_with_checkpoints(
+    f1, av1, *_ = lbm3d_model.run_simulation_with_checkpoints(
         16, 16, 128, num_steps=8, checkpoint_path=tmp_path / "a.npz",
         checkpoint_every=8, engine="sharded-pallas", num_devices=4)
-    f2, av2, _ = lbm3d_model.run_simulation_with_checkpoints(
+    f2, av2, *_ = lbm3d_model.run_simulation_with_checkpoints(
         16, 16, 128, num_steps=8, checkpoint_path=tmp_path / "b.npz",
         checkpoint_every=2, engine="sharded-pallas", num_devices=4)
     assert np.array_equal(av1, av2)
@@ -109,13 +109,13 @@ def test_sharded_pallas_resume_on_other_mesh(tmp_path):
     the gathered global state is mesh-independent (valid cells only)."""
     _needs_devices()
     nz = 22  # uneven: exercises pad-and-mask through the checkpoint path
-    full_f, full_av, _ = lbm3d_model.run_simulation_with_checkpoints(
+    full_f, full_av, *_ = lbm3d_model.run_simulation_with_checkpoints(
         nz, 16, 128, num_steps=8, checkpoint_path=tmp_path / "f.npz",
         checkpoint_every=2, engine="sharded-pallas", num_devices=4)
     lbm3d_model.run_simulation_with_checkpoints(
         nz, 16, 128, num_steps=4, checkpoint_path=tmp_path / "r.npz",
         checkpoint_every=2, engine="sharded-pallas", num_devices=2)
-    f_res, av_res, _ = lbm3d_model.run_simulation_with_checkpoints(
+    f_res, av_res, *_ = lbm3d_model.run_simulation_with_checkpoints(
         nz, 16, 128, num_steps=8, checkpoint_path=tmp_path / "r.npz",
         checkpoint_every=2, engine="sharded-pallas", num_devices=4,
         resume=True)
