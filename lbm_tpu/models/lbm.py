@@ -28,6 +28,9 @@ class LbmResult:
     compute_seconds: float
     reynolds: float
     total_density: float
+    # steps actually executed in the timed window (differs from
+    # av_vels.size on a checkpoint resume); None = all of av_vels
+    steps_run: int | None = None
 
 
 def run_simulation(
@@ -258,6 +261,7 @@ def run_simulation_with_checkpoints(
     else:
         raise ValueError(f"unknown engine {engine!r}")
 
+    steps_run = total - start
     t0 = time.perf_counter()
     while start < total:
         n = min(checkpoint_every, total - start)
@@ -284,6 +288,7 @@ def run_simulation_with_checkpoints(
         compute_seconds=compute_seconds,
         reynolds=reynolds_number(p, float(av_np[-1])),
         total_density=state.total_density(f_np),
+        steps_run=steps_run,
     )
 
 
@@ -361,11 +366,16 @@ def print_summary(result: LbmResult) -> None:
     print(f"Reynolds number:\t\t{result.reynolds:.12E}")
     print(f"Total compute time:\t\t{result.compute_seconds:.6f} (s)")
     print(f"Total density:\t\t\t{result.total_density:.6E}")
-    mlups = (
-        result.av_vels.size
-        * result.f_final.shape[-1]
-        * result.f_final.shape[-2]
-        / result.compute_seconds
-        / 1e6
-    )
-    print(f"MLUPS:\t\t\t\t{mlups:.1f}")
+    steps = (result.steps_run if result.steps_run is not None
+             else result.av_vels.size)
+    if steps:
+        mlups = (
+            steps
+            * result.f_final.shape[-1]
+            * result.f_final.shape[-2]
+            / result.compute_seconds
+            / 1e6
+        )
+        print(f"MLUPS:\t\t\t\t{mlups:.1f}")
+    else:
+        print("MLUPS:\t\t\t\t- (nothing to run: checkpoint already complete)")
