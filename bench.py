@@ -31,6 +31,11 @@ BASELINE_MLUPS = 2000.0
 REF = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 PALLAS_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PALLAS_TIMEOUT", "480"))
+# The D3Q19 bz=4/K=2 cold Mosaic compile measured ~15 min when its cache
+# entry is invalidated (any d3q19_pallas.py edit shifts the source
+# locations embedded in the serialized kernel and changes the cache key) —
+# give the 3-D subprocess enough headroom to survive a cold start.
+D3Q19_TIMEOUT_S = int(os.environ.get("LBM_BENCH_D3Q19_TIMEOUT", "1500"))
 
 
 def _setup():
@@ -196,7 +201,7 @@ def main() -> int:
     d3_iters = 200
     d3_secs, d3_err = run_pallas_subprocess(
         cmd=[sys.executable, os.path.abspath(__file__), "--d3q19-only"],
-        timeout=PALLAS_TIMEOUT_S,
+        timeout=D3Q19_TIMEOUT_S,
     )
     if d3_secs is not None:
         out["d3q19_mlups_64x128x256"] = round(
