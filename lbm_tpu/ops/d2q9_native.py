@@ -3,9 +3,11 @@
 The framework's independent host-side oracle — the native analogue of the
 reference's serial golden standard (main/LastChance.cpp:120-288). Same
 semantics contract as ops/d2q9.py (identical expression grouping, so f32
-runs land in the same rounding class); runs 5-10x faster than the jitted
-JAX engine on this host for the full golden-length f64 runs, with zero
-compile time.
+runs land in the same rounding class). Measured on this host: the full
+40k-step 128x128 f64 golden run takes ~17.5 s (max rel err 3.7e-12 vs
+check/) vs ~26 s for the jitted JAX CPU engine including its compile —
+the oracle's real value is INDEPENDENCE (a second implementation with no
+JAX in the loop), not raw speed.
 
 No JAX dependency: everything here is numpy + ctypes. Falls back to
 raising a clear error when the native toolchain is unavailable
