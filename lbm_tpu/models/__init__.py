@@ -1,1 +1,1 @@
-from . import blur, lbm
+from . import blur, lbm, lbm3d
