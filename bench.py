@@ -30,7 +30,11 @@ NUM_STEPS = 2000
 BASELINE_MLUPS = 2000.0
 REF = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-PALLAS_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PALLAS_TIMEOUT", "480"))
+# 900 s: the K=4 Mosaic compile is ~350 s cold, but the remote compile
+# helper can additionally be busy finishing a previously-killed client's
+# compile (observed: a warm-cache run stalled past 480 s behind one) —
+# an undersized timeout silently demotes the headline to the jax engine.
+PALLAS_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PALLAS_TIMEOUT", "900"))
 # The D3Q19 bz=4/K=2 cold Mosaic compile measured ~15 min when its cache
 # entry is invalidated (any d3q19_pallas.py edit shifts the source
 # locations embedded in the serialized kernel and changes the cache key) —
