@@ -58,6 +58,10 @@ def load(path: str | Path, expect: Params | None = None) -> Checkpoint:
     with np.load(path) as z:
         if int(z["version"]) != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {z['version']}")
+        if str(z.get("kind", "")) == "d3q19":
+            raise ValueError(
+                f"{path} is a 3-D (d3q19) checkpoint — load it with "
+                "checkpoint.load3d / the lbm3d CLI")
         params = Params(
             nx=int(z["nx"]), ny=int(z["ny"]), max_iters=int(z["max_iters"]),
             reynolds_dim=int(z["reynolds_dim"]), density=float(z["density"]),

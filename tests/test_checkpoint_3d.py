@@ -124,3 +124,10 @@ def test_sharded_pallas_resume_on_other_mesh(tmp_path):
     # shard count (measured ~3e-6 rel on the first post-resume steps)
     np.testing.assert_allclose(av_res, full_av, rtol=1e-5, atol=1e-9)
     np.testing.assert_allclose(f_res, full_f, rtol=1e-5, atol=1e-9)
+
+
+def test_3d_checkpoint_rejected_by_2d_loader(tmp_path):
+    checkpoint.save3d(tmp_path / "3d.npz", np.zeros((19, 4, 8, 16)),
+                      np.zeros(2), 2, omega=1.85, density=0.1, accel=0.005)
+    with pytest.raises(ValueError, match="3-D"):
+        checkpoint.load(tmp_path / "3d.npz")

@@ -59,3 +59,28 @@ def test_read_obstacles_rejects_extra_tokens(tmp_path):
     (tmp_path / "six.dat").write_text("0 0 1 1 1 1\n")
     with pytest.raises(ValueError):
         native.read_obstacles(str(tmp_path / "six.dat"), 4, 4)
+
+
+def test_final_state_arrays_native_and_python_paths_byte_identical(tmp_path):
+    """write_final_state_arrays (the single home of the row format after the
+    round-2 refactor) must emit identical bytes through the native C++ fast
+    path and the pure-Python fallback."""
+    from unittest import mock
+
+    import numpy as np
+
+    from lbm_tpu.core import io
+
+    rng = np.random.default_rng(3)
+    ny, nx = 5, 7
+    fields = [rng.standard_normal((ny, nx)) for _ in range(4)]
+    obs = rng.random((ny, nx)) < 0.3
+    p_native, p_python = tmp_path / "n.dat", tmp_path / "p.dat"
+    if io._try_native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    io.write_final_state_arrays(p_native, *fields, obs)
+    with mock.patch.object(io, "_try_native", lambda: None):
+        io.write_final_state_arrays(p_python, *fields, obs)
+    assert p_native.read_bytes() == p_python.read_bytes()
