@@ -29,6 +29,44 @@ def _clean_env():
     return env
 
 
+def test_guard_decision_covers_driver_env_shape():
+    """The r01/r02 failure: forced-count flag present and JAX_PLATFORMS=cpu
+    exported, but the axon plugin ignores the env var so jax.devices() is one
+    real TPU chip. The guard must look at device reality, not the config."""
+    import __graft_entry__ as g
+
+    # driver env shape (r02 failure): flags forced, but backend is 1 TPU
+    assert not g._should_run_in_process(8, forced_count=8,
+                                        device_count=1, device_platform="tpu")
+    # r01 failure shape: nothing forced, 1 TPU
+    assert not g._should_run_in_process(8, 0, 1, "tpu")
+    # conftest shape: 8 virtual CPU devices live -> in-process OK
+    assert g._should_run_in_process(8, 8, 8, "cpu")
+    # forced but the flag arrived after backend init (fewer live devices)
+    assert not g._should_run_in_process(8, 8, 4, "cpu")
+    # live CPU devices but no forcing recorded: re-exec to be safe
+    assert not g._should_run_in_process(8, 0, 8, "cpu")
+
+
+def test_dryrun_multichip_exits_zero_in_driver_env():
+    """Exact MULTICHIP driver env: JAX_PLATFORMS=cpu exported AND the forced
+    device count in XLA_FLAGS. On a host with the axon TPU plugin the env var
+    is ignored and the backend is one TPU chip — the shape that crashed
+    rounds 1 and 2. Must exit 0 regardless of which backend resolves."""
+    env = _clean_env()
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "pallas_sharded" in proc.stdout
+
+
 def test_dryrun_multichip_exits_zero_in_clean_env():
     # exactly what MULTICHIP_r*.json records
     proc = subprocess.run(
