@@ -19,6 +19,18 @@ from ..core import checkpoint
 from ..ops import d3q19_lattice  # numpy-only; keeps engine='native' JAX-free
 
 
+def select_k_steps(engine: str, num_steps: int, checkpoint_every: int,
+                   nz: int) -> int:
+    """Deepest K compatible with bit-exact chunking for this engine.
+
+    Single-chip 'pallas' additionally needs nz % k == 0 (the kernel's
+    z-halo blocks are K-plane aligned); 'sharded-pallas' pads uneven nz
+    via plan_planes' pad-and-mask, so odd nz must NOT force K=1 there."""
+    return next(k for k in (2, 1)
+                if num_steps % k == 0 and checkpoint_every % k == 0
+                and (engine == "sharded-pallas" or nz % k == 0))
+
+
 def run_simulation_with_checkpoints(
     nz: int, ny: int, nx: int, *,
     num_steps: int,
@@ -51,14 +63,17 @@ def run_simulation_with_checkpoints(
 
     pallas_like = engine in ("pallas", "sharded-pallas")
     if pallas_like and k_steps is None:
-        k_steps = next(k for k in (2, 1)
-                       if num_steps % k == 0 and checkpoint_every % k == 0
-                       and nz % k == 0)
+        k_steps = select_k_steps(engine, num_steps, checkpoint_every, nz)
     if pallas_like and (num_steps % k_steps or checkpoint_every % k_steps):
         raise ValueError(
             f"pallas checkpointing needs num_steps ({num_steps}) and "
             f"checkpoint_every ({checkpoint_every}) divisible by k_steps "
             f"({k_steps}) for bit-exact chunking")
+    if engine == "pallas" and nz % k_steps:
+        raise ValueError(
+            f"engine='pallas' needs nz ({nz}) divisible by k_steps "
+            f"({k_steps}): the kernel's z-halo blocks are K-plane aligned "
+            "(use k_steps=None for auto-selection, or the jax engine)")
 
     ck_path = Path(checkpoint_path)
     if resume and ck_path.exists():

@@ -69,7 +69,13 @@ def choose_config(nz: int, ny: int, nx: int, k_steps: int = 2,
                 + 19 * bz * by * nx * 4)
         if live <= 60 * 1024 * 1024:
             return bz, by
-    return bz, legal[0]
+    # even the smallest legal y-block blows the budget: raise the same
+    # descriptive error as the no-legal-block path instead of returning a
+    # config that dies later as an opaque Mosaic VMEM compile failure
+    raise ValueError(
+        f"smallest y-block (by={legal[0]}) still exceeds the VMEM budget "
+        f"for {ny}x{nx} planes at bz={bz}, k={k} — pad ny to expose a "
+        "smaller divisor or use the jax engine")
 
 
 def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
@@ -212,6 +218,13 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
         raise ValueError(f"bz {bz} must divide nz {nz}")
     if not 1 <= k_steps <= MAX_K:
         raise ValueError(f"k_steps must be in 1..{MAX_K}")
+    if bz % k_steps:
+        # _prev_idx/_next_idx address K-plane halo blocks in units that
+        # assume bz is a multiple of k_steps; violating it silently fetches
+        # misaligned ghost planes (wrong physics, no error).
+        raise ValueError(
+            f"bz ({bz}) must be a multiple of k_steps ({k_steps}); "
+            f"pick k_steps dividing nz ({nz}) or pass bz explicitly")
     grid = nz // bz
 
     kernel = functools.partial(

@@ -223,8 +223,10 @@ def blur_k_pallas(img: jax.Array, interior: jax.Array, *, k_passes: int,
                   interpret: bool | None = None) -> jax.Array:
     """`k_passes` fused blur passes in ONE pass over HBM (k_passes <= 8).
     For images too large for the resident engine: per-pass HBM traffic
-    falls as 1/K. Semantics identical to k_passes calls of
-    blur_step_pallas."""
+    falls as 1/K. Mathematically identical to k_passes calls of
+    blur_step_pallas (differs at f32 rounding: this kernel accumulates the
+    separable rows-then-columns order, the single-pass kernel the direct
+    9-point sum)."""
     c, h, w = img.shape
     if band is None:
         band = _choose_band(h, w, c, img.dtype.itemsize)

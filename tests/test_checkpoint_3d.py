@@ -126,6 +126,41 @@ def test_sharded_pallas_resume_on_other_mesh(tmp_path):
     np.testing.assert_allclose(f_res, full_f, rtol=1e-5, atol=1e-9)
 
 
+def test_pallas_rejects_explicit_k_not_dividing_nz(tmp_path):
+    """nz=7, k_steps=2 used to pass validation and silently fetch misaligned
+    ghost planes (choose_config degrades bz to 1); must now raise."""
+    with pytest.raises(ValueError, match="k_steps"):
+        lbm3d_model.run_simulation_with_checkpoints(
+            7, 8, 16, num_steps=4, checkpoint_path=tmp_path / "x.npz",
+            checkpoint_every=2, engine="pallas", k_steps=2)
+
+
+def test_select_k_steps_engine_rules():
+    # odd nz forces K=1 on single-chip pallas...
+    assert lbm3d_model.select_k_steps("pallas", 4, 2, 7) == 1
+    assert lbm3d_model.select_k_steps("pallas", 4, 2, 8) == 2
+    # ...but NOT on sharded-pallas (plan_planes pads uneven nz)
+    assert lbm3d_model.select_k_steps("sharded-pallas", 4, 2, 7) == 2
+    # chunking divisibility still wins
+    assert lbm3d_model.select_k_steps("sharded-pallas", 4, 3, 8) == 1
+
+
+def test_sharded_pallas_auto_k_on_odd_nz(tmp_path):
+    """Odd-nz sharded-pallas checkpointed run picks K=2 (pad-and-mask) and
+    matches the jax engine physics."""
+    _needs_devices()
+    nz, ny, nx = 7, 8, 128
+    f_s, av_s, *_ = lbm3d_model.run_simulation_with_checkpoints(
+        nz, ny, nx, num_steps=4, checkpoint_path=tmp_path / "s.npz",
+        checkpoint_every=2, engine="sharded-pallas", num_devices=2)
+    f_j, av_j, *_ = lbm3d_model.run_simulation_with_checkpoints(
+        nz, ny, nx, num_steps=4, checkpoint_path=tmp_path / "j.npz",
+        checkpoint_every=2, engine="jax")
+    assert f_s.shape == (19, nz, ny, nx)
+    np.testing.assert_allclose(av_s, av_j, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(f_s, f_j, rtol=1e-4, atol=1e-7)
+
+
 def test_3d_checkpoint_rejected_by_2d_loader(tmp_path):
     checkpoint.save3d(tmp_path / "3d.npz", np.zeros((19, 4, 8, 16)),
                       np.zeros(2), 2, omega=1.85, density=0.1, accel=0.005)

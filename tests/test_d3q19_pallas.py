@@ -161,6 +161,24 @@ def test_choose_config_blocks_large_planes():
         assert nz % bz == 0 and bz % 2 == 0
 
 
+def test_choose_config_raises_when_no_block_fits_budget():
+    """When even the smallest legal y-block exceeds the VMEM budget the
+    config chooser must raise the descriptive error up front, not hand back
+    a config that dies later as an opaque Mosaic compile failure."""
+    with pytest.raises(ValueError, match="VMEM budget"):
+        d3q19_pallas.choose_config(4, 8, 8192, 2)
+
+
+def test_stepk_rejects_bz_not_multiple_of_k():
+    """bz % k_steps != 0 misaligns the K-plane halo BlockSpecs (silently
+    wrong physics before this guard)."""
+    f = jnp.zeros((19, 6, 8, 128), jnp.float32)
+    with pytest.raises(ValueError,
+                       match="multiple of k_steps|divide nz and bz"):
+        d3q19_pallas.stepk(f, jnp.zeros((6, 8, 128)), k_steps=2, omega=1.85,
+                           density=0.1, accel=0.005, accel_plane=4, bz=3)
+
+
 def test_simulate_pallas_uses_auto_config_on_blocked_shape():
     """simulate(engine='pallas') must run (interpret mode here) at a shape
     whose slab config would exceed TPU VMEM."""
