@@ -5,19 +5,22 @@ The analogue of the reference's halo_regions micro-benchmark
 whose headline lesson was that compiler-scheduled "implicit" exchange beats
 naive explicit copies by orders of magnitude. Strategies here:
 
-  implicit   — jnp.roll step on a sharded global array (XLA-chosen collectives)
-  ppermute   — explicit shard_map 2-wave neighbour exchange
-  allgather  — boundary rows/cols all-gathered (the deliberately-heavy scheme)
-  naive      — every edge and corner its own serialised collective (the
-               analogue of the reference's 8,500x-slower explicitOneTensor,
-               HaloRegionApproaches.cpp:522-738)
+  implicit    — jnp.roll step on a sharded global array (XLA-chosen collectives)
+  ppermute    — explicit shard_map 2-wave neighbour exchange
+  manytensors — persistent ghost-extended blocks updated by 8 per-direction
+                sends (the explicitManyTensors analogue,
+                HaloRegionApproaches.cpp:166-357)
+  allgather   — boundary rows/cols all-gathered (the deliberately-heavy scheme)
+  naive       — every edge and corner its own serialised collective (the
+                analogue of the reference's 8,500x-slower explicitOneTensor,
+                HaloRegionApproaches.cpp:522-738)
 
 Emits CSV rows: strategy,platform,devices,mesh,grid,iters,seconds,mlups
 
 Usage:
     python -m lbm_tpu.cli.halo_bench --ny 1024 --nx 1024 -n 200 \
-        [--strategies implicit,ppermute,allgather,naive] [--num-devices 8]
-        [--device cpu|tpu]
+        [--strategies implicit,ppermute,manytensors,allgather,naive]
+        [--num-devices 8] [--device cpu|tpu]
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ def main(argv=None) -> int:
     parser.add_argument("-n", "--num-iters", type=int, default=200)
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--strategies",
-                        default="implicit,ppermute,allgather,naive")
+                        default="implicit,ppermute,manytensors,allgather,naive")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     args = parser.parse_args(argv)
 

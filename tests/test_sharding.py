@@ -82,10 +82,15 @@ def test_implicit_strategy_matches_ppermute_over_steps(reference_dir):
     np.testing.assert_allclose(np.asarray(av_imp), np.asarray(av_single), rtol=1e-5)
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (8, 1)])
-def test_naive_strategy_matches_global(shape):
-    """The deliberately-chatty per-direction exchange (the reference's
-    explicitOneTensor analogue) must still be physically correct."""
+@pytest.mark.parametrize("shape,exchange", [
+    ((2, 4), "naive"), ((8, 1), "naive"),
+    ((2, 4), "manytensors"), ((8, 1), "manytensors"),
+])
+def test_explicit_strategy_matches_global(shape, exchange):
+    """The per-direction explicit exchanges — 'naive' (serialised, the
+    reference's explicitOneTensor analogue) and 'manytensors' (persistent
+    ghost buffer, the explicitManyTensors analogue) — must be physically
+    correct."""
     r, c = shape
     ny, nx = 16 * r, 16 * c
     f, mask = make_case(ny, nx)
@@ -98,7 +103,7 @@ def test_naive_strategy_matches_global(shape):
     dev_grid = np.array(jax.devices()[: r * c]).reshape(r, c)
     mesh = jax.sharding.Mesh(dev_grid, (mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS))
     step_fn = halo.make_sharded_step(mesh, omega=1.85, accel_w1=w1,
-                                     accel_w2=w2, exchange="naive")
+                                     accel_w2=w2, exchange=exchange)
     f_sh = jax.device_put(jnp.asarray(f), mesh_lib.grid_sharding(mesh))
     mask_sh = jax.device_put(jnp.asarray(mask), mesh_lib.mask_sharding(mesh))
     amask_sh = jax.device_put(
