@@ -36,8 +36,9 @@ def main():
 
     import jax
 
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
+    from lbm_tpu.utils.profiling import select_platform
+
+    select_platform(args.device)
 
     import jax.numpy as jnp
 

@@ -56,8 +56,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
+    from ..utils.profiling import select_platform
+
+    select_platform(args.device)
 
     import jax.numpy as jnp
 

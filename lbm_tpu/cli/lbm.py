@@ -76,8 +76,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
+    from ..utils.profiling import select_platform
+
+    select_platform(args.device)
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 

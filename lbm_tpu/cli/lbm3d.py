@@ -53,8 +53,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
+    from ..utils.profiling import select_platform
+
+    select_platform(args.device)
 
     import numpy as np
 

@@ -26,6 +26,28 @@ from pathlib import Path
 import jax
 
 
+def select_platform(device: str | None) -> None:
+    """Pin the JAX platform for a ``--device`` CLI flag.
+
+    'cpu' maps straight to ``jax_platforms``. 'tpu' must NOT: this image's
+    TPU plugin registers its backend under the name 'axon', so
+    ``jax_platforms='tpu'`` fails to initialise ("no jellyfish device")
+    even though default resolution picks the TPU and reports
+    ``Device.platform == 'tpu'``. So for 'tpu' we leave the config alone
+    and verify what actually resolved.
+    """
+    if not device:
+        return
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    resolved = jax.devices()[0].platform
+    if resolved != device:
+        raise RuntimeError(
+            f"--device {device} requested but the default backend resolved "
+            f"to {resolved!r}")
+
+
 @contextlib.contextmanager
 def timed(description: str, file=sys.stderr):
     """Print '<description> took Xs' like the reference's timedStep."""

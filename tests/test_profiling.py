@@ -53,3 +53,20 @@ def jax_jit_run(fn):
 def test_device_memory_stats():
     stats = profiling.device_memory_stats()
     assert len(stats) >= 1
+
+
+def test_select_platform_cpu_and_mismatch(monkeypatch):
+    """'cpu' pins the config; 'tpu' must NOT set jax_platforms (the TPU
+    backend registers as 'axon' in this image, so jax_platforms='tpu'
+    would fail to init) — it verifies the resolved platform instead."""
+    import jax
+    import pytest
+
+    profiling.select_platform(None)  # no-op
+    profiling.select_platform("cpu")
+    assert "cpu" in str(jax.config.jax_platforms)
+    # conftest pins this process to CPU, so asking for tpu must raise the
+    # descriptive mismatch error (never touching jax_platforms)
+    with pytest.raises(RuntimeError, match="resolved"):
+        profiling.select_platform("tpu")
+    assert "tpu" not in str(jax.config.jax_platforms)
