@@ -63,12 +63,20 @@ def classify(name: str) -> str | None:
     return None  # host/python/umbrella events
 
 
-def breakdown(n: int, iters: int):
+def breakdown(n: int, iters: int, mesh_shape=None):
     p = Params(nx=n, ny=n, max_iters=iters, reynolds_dim=10, density=0.1,
                accel=0.005, omega=1.85)
     f0 = state.initial_distributions(p, np.float32)
     mask = np.zeros((n, n), bool)
-    mesh = mesh_lib.make_mesh(8, n, n)
+    if mesh_shape is not None:
+        import jax as _jax
+
+        r, c = mesh_shape
+        dev_grid = np.array(_jax.devices()[: r * c]).reshape(r, c)
+        mesh = _jax.sharding.Mesh(dev_grid,
+                                  (mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS))
+    else:
+        mesh = mesh_lib.make_mesh(8, n, n)
     f, pm, am, (pr, pc) = halo.prepare_sharded(p, f0, mask, mesh, "ppermute",
                                                first_accelerate=True)
 
@@ -90,7 +98,7 @@ def breakdown(n: int, iters: int):
             cat = classify(e.get("name", ""))
             if cat:
                 tot[cat] += e["dur"]
-    return tot
+    return tot, mesh.devices.shape
 
 
 def main():
@@ -99,11 +107,11 @@ def main():
     with open(out_path, "w") as out:
         out.write("grid,mesh,platform,iters,exchange_ms,sync_ms,compute_ms,"
                   "exchange_pct_of_ops,sync_pct\n")
-        for n in (256, 1024):
-            tot = breakdown(n, iters)
+        for n in (256, 512, 1024, 2048):
+            tot, (r, c) = breakdown(n, iters if n < 2048 else max(iters // 5, 10))
             ex, sy, co = (tot[k] / 1e3 for k in ("exchange", "sync", "compute"))
             total = ex + sy + co
-            row = (f"{n}x{n},2x4,cpu,{iters},{ex:.1f},{sy:.1f},{co:.1f},"
+            row = (f"{n}x{n},{r}x{c},cpu,{iters},{ex:.1f},{sy:.1f},{co:.1f},"
                    f"{100 * ex / total:.1f},{100 * sy / total:.1f}")
             print(row, flush=True)
             out.write(row + "\n")

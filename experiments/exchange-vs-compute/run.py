@@ -4,14 +4,17 @@
 Reference analogue: experiments/gaussian-blur-scaling/exchange-vs-compute.csv
 (on 16 IPUs global exchange ~3-4k cycles vs compute 4.4-13k — comparable!).
 
-Two honest sections (the round-1 version subtracted wall-clocks on the CPU
-virtual mesh and got negative deltas — below host noise, answering nothing):
+Two honest sections. (Wall-clock SUBTRACTION — timing ppermute vs a
+zero-exchange run and differencing — was retired in round 3: on the shared
+host the delta sits below noise for 1024²+ and round 2's CSV recorded a
+negative exchange time. Per-op attribution does not subtract anything.)
 
-1. measured (platform column = cpu): ppermute strategy vs the 'none'
-   zero-exchange baseline on the 8-virtual-device CPU mesh, min-of-N.
-   On this host the exchange is memcpy between threads; rows whose delta is
-   within noise are explicitly flagged below_noise=1 and must not be read as
-   TPU predictions.
+1. profiled (platform column = cpu): per-XLA-op time attribution from a
+   jax.profiler trace of the ppermute run on the 8-virtual-device CPU mesh
+   (profile_breakdown.classify buckets ops into exchange / sync / compute).
+   Collectives are memcpys + thread rendezvous there, so the ratios are NOT
+   ICI ratios — the value is op-level attribution: how much of the schedule
+   is collectives at all, and how it scales with the per-shard block.
 
 2. model (platform = tpu-v5e-model): the real-hardware answer this
    environment cannot measure (one chip, no ICI). Per step and per shard of
@@ -28,7 +31,6 @@ Usage: python experiments/exchange-vs-compute/run.py [iters]
 
 import os
 import sys
-import time
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -38,31 +40,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-
-from lbm_tpu.core import state
-from lbm_tpu.core.params import Params
-from lbm_tpu.parallel import halo, mesh as mesh_lib
 
 HBM_GBPS = 820.0   # v5e HBM bandwidth (docs/TUNING.md roofline)
 ICI_GBPS = 100.0   # per-link per-direction working figure (see docstring)
-
-
-def time_strategy(p, f0, mask, mesh, strategy, reps=5):
-    """min-of-N timing: single runs on a shared host are noise-dominated."""
-    _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy,
-                                  allow_invalid=True)
-    np.asarray(av)  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _, av = halo.simulate_sharded(p, f0, mask, mesh, strategy=strategy,
-                                      allow_invalid=True)
-        np.asarray(av)
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def model_row(ny, nx, r, c):
@@ -77,28 +58,29 @@ def model_row(ny, nx, r, c):
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    n_dev = len(jax.devices())
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import profile_breakdown as pb
+
     with open(out_path, "w") as out:
         out.write("section,platform,grid,mesh,iters,total_s,compute_only_s,"
                   "exchange_s,exchange_pct,below_noise\n")
-        for ny in (256, 512, 1024):
-            p = Params(nx=ny, ny=ny, max_iters=iters, reynolds_dim=10,
-                       density=0.1, accel=0.005, omega=1.85)
-            f0 = state.initial_distributions(p, np.float32)
-            mask = np.zeros((ny, ny), bool)
-            mask[0, :] = True
-            mesh = mesh_lib.make_mesh(n_dev, ny, ny)
-            r, c = mesh.devices.shape
-            total = time_strategy(p, f0, mask, mesh, "ppermute")
-            compute = time_strategy(p, f0, mask, mesh, "none")
-            exch = total - compute
-            noise = 1 if exch < 0.03 * total else 0
-            row = (f"measured,cpu,{ny}x{ny},{r}x{c},{iters},{total:.4f},"
-                   f"{compute:.4f},{exch:.4f},{100 * exch / total:.1f},{noise}")
+        # primary measured story: per-op profiler attribution (total XLA-op
+        # time summed across the 8 device threads; sync bucket folded into
+        # total but not into compute_only)
+        for ny in (256, 512, 1024, 2048):
+            n_it = iters if ny < 2048 else max(iters // 5, 10)
+            tot, (r, c) = pb.breakdown(ny, n_it)
+            ex, sy, co = (tot[k] / 1e6
+                          for k in ("exchange", "sync", "compute"))
+            total = ex + sy + co
+            row = (f"profiled,cpu,{ny}x{ny},{r}x{c},{n_it},{total:.4f},"
+                   f"{co:.4f},{ex:.4f},{100 * ex / total:.1f},0")
             print(row)
             out.write(row + "\n")
+            out.flush()
 
         # analytic model for the hardware this environment cannot measure
         for ny, (r, c) in ((1024, (2, 4)), (4096, (2, 4)), (4096, (4, 4)),
