@@ -16,7 +16,9 @@ Writes results.csv. Exit 0 iff every (grid, engine) passes its floor.
 
 import argparse
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -31,6 +33,10 @@ FLOORS = {"128x128": 2e-3, "128x256": 2.5e-3, "256x256": 3e-3,
 # default scope: the grids flagship-golden-run does NOT cover (pass
 # --grids 1024x1024 explicitly to duplicate the 20k-step flagship here)
 DEFAULT_GRIDS = ["128x128", "128x256", "256x256"]
+# grids whose golden final_state blobs ship with the reference: full runs
+# on these also face verify/check.py's per-cell |u| gate at the
+# reference's own 1% tolerance (reference: check/check.py:106-129)
+FS_GOLDEN = ("128x128", "128x256")
 
 
 def main():
@@ -62,7 +68,7 @@ def main():
     platform = jax.devices()[0].platform
 
     rows = ["grid,engine,platform,steps,max_rel_err,final_rel_err,floor,"
-            "seconds"]
+            "fs_max_rel_err,check_pass,seconds"]
     ok = True
     for grid in args.grids:
         p = Params.from_file(f"{REF}/params/input_{grid}.params")
@@ -71,21 +77,54 @@ def main():
         if args.num_steps:
             p = dataclasses.replace(p, max_iters=args.num_steps)
         n = p.max_iters
+        full_length = n == len(golden)
         f0 = jnp.asarray(state.initial_distributions(p, np.float32))
         for name, fn in (
             ("jax", lambda: d2q9.simulate(p, f0, obs.mask)),
             ("pallas", lambda: d2q9_pallas.simulate(p, f0, obs.mask)),
         ):
             t0 = time.perf_counter()
-            _, av = fn()
+            f_final, av = fn()
             av = np.asarray(av, np.float64)
             dt = time.perf_counter() - t0
             rel = np.abs(av - golden[:n]) / np.abs(golden[:n])
             floor = FLOORS[grid]
             passed = rel.max() < floor
+
+            # final_state: write both .dat files and face the reference's
+            # own checker (av_vels AND per-cell |u|) at 1% tolerance
+            fs_err, check_pass = "", ""
+            if grid in FS_GOLDEN and full_length:
+                out = tempfile.mkdtemp(prefix=f"golden-matrix-{grid}-{name}-")
+                av_path = os.path.join(out, "av_vels.dat")
+                fs_path = os.path.join(out, "final_state.dat")
+                io.write_av_vels(av_path, av)
+                io.write_final_state(fs_path, p, obs.mask,
+                                     np.asarray(f_final))
+                ref_fs = f"{REF}/check/{grid}.final_state.dat"
+                u_ref = np.loadtxt(ref_fs, usecols=[5])
+                u_sim = np.loadtxt(fs_path, usecols=[5])
+                nz_mask = u_ref != 0
+                fs_max = np.abs((u_sim - u_ref)[nz_mask]
+                                / u_ref[nz_mask]).max()
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(HERE), "..", "verify",
+                                  "check.py"),
+                     "--ref-av-vels-file", f"{REF}/check/{grid}.av_vels.dat",
+                     "--ref-final-state-file", ref_fs,
+                     "--av-vels-file", av_path,
+                     "--final-state-file", fs_path],
+                    capture_output=True, text=True)
+                fs_err = f"{fs_max:.3e}"
+                check_pass = str(int(proc.returncode == 0))
+                ok &= proc.returncode == 0
+                print(proc.stdout.strip(), flush=True)
+
             ok &= passed
             row = (f"{grid},{name},{platform},{n},{rel.max():.3e},"
-                   f"{rel[-1]:.3e},{floor:.1e},{dt:.2f}")
+                   f"{rel[-1]:.3e},{floor:.1e},{fs_err},{check_pass},"
+                   f"{dt:.2f}")
             print(row + ("  PASS" if passed else "  FAIL"), flush=True)
             rows.append(row)
     with open(os.path.join(HERE, "results.csv"), "w") as fp:

@@ -19,9 +19,6 @@ from lbm_tpu.core import io, state
 from lbm_tpu.core.params import Obstacles, Params
 from lbm_tpu.ops import d2q9
 
-GRIDS = ["128x128", "128x256", "256x256", "1024x1024"]
-
-
 def load_case(reference_dir, grid):
     p = Params.from_file(f"{reference_dir}/params/input_{grid}.params")
     obs = Obstacles.from_file(f"{reference_dir}/params/obstacles_{grid}.dat", p)
@@ -29,7 +26,14 @@ def load_case(reference_dir, grid):
     return p, obs, golden_av
 
 
-@pytest.mark.parametrize("grid", GRIDS)
+@pytest.mark.parametrize("grid", [
+    # one fast-representative grid; the other three add minutes of CPU f64
+    # scan for the same coverage (same engine, same formula) -> slow
+    "128x128",
+    pytest.param("128x256", marks=pytest.mark.slow),
+    pytest.param("256x256", marks=pytest.mark.slow),
+    pytest.param("1024x1024", marks=pytest.mark.slow),
+])
 def test_av_vels_prefix_f64(reference_dir, grid):
     p, obs, golden_av = load_case(reference_dir, grid)
     n = 50

@@ -38,7 +38,13 @@ def make_case(ny, nx):
     return f, mask
 
 
-@pytest.mark.parametrize("n_shards,k_steps", [(8, 1), (8, 4), (8, 8), (4, 2)])
+@pytest.mark.parametrize("n_shards,k_steps", [
+    # (8,4) exercises deep-K on the full mesh, (4,2) the production default
+    # on a smaller mesh; the K=1 / K=8 duplicates cover no extra code path
+    (8, 4), (4, 2),
+    pytest.param(8, 1, marks=pytest.mark.slow),
+    pytest.param(8, 8, marks=pytest.mark.slow),
+])
 def test_matches_global_engine(n_shards, k_steps):
     ny, nx = 128, 128
     f, mask = make_case(ny, nx)
