@@ -20,8 +20,14 @@ from ..parallel import partition
 
 
 def render(part: partition.GridPartitioning, ny: int, nx: int,
-           scale: int = 1) -> np.ndarray:
-    """Shaded RGBA rendering of a partitioning."""
+           scale: int = 1, lanes: bool = False) -> np.ndarray:
+    """Shaded RGBA rendering of a partitioning.
+
+    With lanes=True adds the third level of the reference's render
+    (VisualiseTileMapping.cpp:174-199 draws IPU / tile / worker boxes):
+    the 8x128 VPU register-tile grid inside each slice, with the cells of
+    partial tiles — the source of ``stats().wasted_lane_cells`` — tinted
+    red so lane-level padding is visible."""
     img = np.zeros((ny, nx, 4), dtype=np.uint8)
     img[..., 3] = 255
     max_area = max(s.area for s in part.values())
@@ -33,6 +39,22 @@ def render(part: partition.GridPartitioning, ny: int, nx: int,
                (shade // 2, 40, shade), (shade, shade, 40),
                (40, shade, shade), (shade, 40, shade)][hue]
         img[sl.row_start : sl.row_end, sl.col_start : sl.col_end, :3] = rgb
+        if lanes and sl.area > 0:
+            blk = img[sl.row_start : sl.row_end,
+                      sl.col_start : sl.col_end, :3]
+            # partial-tile cells first (red tint), gridlines on top
+            hpart = sl.height % partition.VPU_SUBLANES
+            wpart = sl.width % partition.VPU_LANES
+            if hpart:
+                edge = blk[-hpart:, :]
+                edge[..., 0] = np.minimum(edge[..., 0].astype(int) + 120, 255)
+            if wpart:
+                edge = blk[:, -wpart:]
+                edge[..., 0] = np.minimum(edge[..., 0].astype(int) + 120, 255)
+            blk[:: partition.VPU_SUBLANES, :] = np.maximum(
+                blk[:: partition.VPU_SUBLANES, :], 110)
+            blk[:, :: partition.VPU_LANES] = np.maximum(
+                blk[:, :: partition.VPU_LANES], 110)
         # 1-px border
         img[sl.row_start, sl.col_start : sl.col_end, :3] = 255
         img[sl.row_end - 1, sl.col_start : sl.col_end, :3] = 255
@@ -50,6 +72,9 @@ def main(argv=None) -> int:
     parser.add_argument("--num-devices", type=int, required=True)
     parser.add_argument("--band", type=int, default=None,
                         help="also subdivide into Pallas row-bands")
+    parser.add_argument("--lanes", action="store_true",
+                        help="overlay the 8x128 VPU register-tile grid and "
+                             "tint partial-tile (wasted-lane) cells")
     parser.add_argument("-o", "--output", default="partitioning.png")
     parser.add_argument("--json", default=None, help="also dump JSON mapping")
     parser.add_argument("--scale", type=int, default=1)
@@ -72,7 +97,9 @@ def main(argv=None) -> int:
 
     from ..utils import image as img_lib
 
-    img_lib.save_png(args.output, render(part, args.ny, args.nx, args.scale))
+    img_lib.save_png(args.output,
+                     render(part, args.ny, args.nx, args.scale,
+                            lanes=args.lanes))
     print(f"wrote {args.output}")
     if args.json:
         partition.serialize_to_json(part, args.json)

@@ -135,6 +135,27 @@ def test_viz_partition_cli(tmp_path):
     assert (tmp_path / "p.json").exists()
 
 
+def test_viz_partition_lane_overlay(tmp_path):
+    """3-level render: device blocks + bands + the 8x128 VPU lane grid,
+    with partial-tile (wasted-lane) cells tinted red."""
+    from lbm_tpu.cli import viz_partition
+    from lbm_tpu.parallel import partition
+
+    part = partition.partition_for_devices(20, 140, 2)
+    assert partition.stats(part).wasted_lane_cells > 0
+    base = viz_partition.render(part, 20, 140)
+    lanes = viz_partition.render(part, 20, 140, lanes=True)
+    assert lanes.shape == base.shape
+    # red tint on partial-tile cells
+    assert (lanes[..., 0].astype(int) - base[..., 0].astype(int) >= 100).any()
+    res = run_cli([
+        "lbm_tpu.cli.viz_partition", "--ny", "64", "--nx", "200",
+        "--num-devices", "4", "--lanes", "-o", str(tmp_path / "l.png"),
+    ])
+    assert res.returncode == 0, res.stderr
+    assert (tmp_path / "l.png").exists()
+
+
 def test_partition_stats_cli():
     res = run_cli(["lbm_tpu.cli.partition_stats", "--samples", "3",
                    "--devices", "1,4"])
