@@ -28,6 +28,10 @@ def main(argv=None) -> int:
                                  "native"],
                         help="'native' = serial C++ host oracle "
                              "(native/d3q19_serial.cpp, no JAX)")
+    parser.add_argument("--overlap", action="store_true",
+                        help="sharded-pallas only: overlap the ghost-plane "
+                             "exchange with the interior kernel (even z "
+                             "sharding, >= 3K planes/shard)")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices for --engine sharded (default: all)")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
@@ -92,7 +96,7 @@ def main(argv=None) -> int:
     else:
         kw = dict(num_steps=args.num_steps, omega=args.omega,
                   density=args.density, accel=args.accel, engine=args.engine,
-                  num_devices=args.num_devices)
+                  num_devices=args.num_devices, overlap=args.overlap)
         if args.engine != "native":
             f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
             np.asarray(av)  # compile + warm (nothing to warm for native)

@@ -174,6 +174,7 @@ def simulate(
     engine: str = "jax",
     k_steps: int = 2,
     num_devices: int | None = None,
+    overlap: bool = False,
 ):
     """Lid-driven-style 3-D run: accelerated plane at z = nz-2, walls at
     z = 0 and z = nz-1 (the 3-D analogue of the shipped 2-D configs).
@@ -199,6 +200,7 @@ def simulate(
             else np.asarray(obstacle_mask),
             dtype=dtype, k_steps=k_steps,
             mesh=pallas_sharded_3d.make_z_mesh(num_devices),
+            overlap=overlap,
         )
     f = jnp.asarray(initial_distributions(nz, ny, nx, density, dtype))
     if obstacle_mask is None:

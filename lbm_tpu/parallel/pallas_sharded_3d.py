@@ -81,13 +81,22 @@ def make_chunk_fn(
     bz: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
+    overlap: bool = False,
 ):
     """Jittable fn advancing the z-sharded state K steps:
     (f (19,nz,ny,nx) P(None,'ry',None,None), mask_ext P('ry',None,None))
-    -> (f', tot_u (K,) replicated)."""
+    -> (f', tot_u (K,) replicated).
+
+    overlap=True splits the K-step update so the ghost ppermute can ride
+    under the bulk of the compute (see make_overlap_chunk_fn)."""
     (n_shards,) = mesh.devices.shape
     g = k_steps  # ghost depth = steps absorbed between exchanges
     h, pad = plan_planes(nz, n_shards, g)
+    if overlap:
+        return make_overlap_chunk_fn(
+            mesh, k_steps=k_steps, omega=omega, density=density, accel=accel,
+            accel_plane=accel_plane, nz=nz, bz=bz, interpret=interpret,
+            vmem_limit=vmem_limit)
 
     def local_chunk(f_loc, mask_ext_f):
         _, _, ny, nx = f_loc.shape
@@ -129,11 +138,101 @@ def make_chunk_fn(
     )
 
 
+def make_overlap_chunk_fn(
+    mesh: Mesh,
+    *,
+    k_steps: int,
+    omega: float,
+    density: float,
+    accel: float,
+    accel_plane: int,
+    nz: int,
+    bz: int | None = None,
+    interpret: bool | None = None,
+    vmem_limit: int | None = None,
+):
+    """Communication/compute-overlapped variant of make_chunk_fn.
+
+    A K-step update of owned plane j reads planes [j-K, j+K], so owned
+    planes [K, h-K) never read a ghost: their kernel is issued straight
+    after the ghost ppermutes with NO data dependence on them, letting
+    XLA's async collectives move the ghost planes over ICI while the
+    interior (the bulk: h-2K of h planes) computes. Two small 3K-plane
+    boundary kernels — each K ghost + 2K owned planes in, the K edge
+    planes out — run once the ghosts land. Physics is identical to the
+    fused path (same per-cell arithmetic; Sum|u| valid ranges partition
+    the owned planes exactly): tested equal on the CPU mesh. The
+    exchange-vs-compute model3d rows motivate this: at 16 planes/shard
+    the un-overlapped exchange is ~20% of the step.
+
+    Requires even sharding (no pad) and h >= 3K; `run(overlap=True)`
+    falls back is not provided — callers choose explicitly.
+    """
+    (n_shards,) = mesh.devices.shape
+    g = k_steps
+    h, pad = plan_planes(nz, n_shards, g)
+    if pad:
+        raise ValueError(
+            "overlap=True supports evenly-sharded nz only (no pad planes); "
+            f"nz={nz} on {n_shards} shards pads {pad} planes — use the "
+            "fused path")
+    if h < 3 * g:
+        raise ValueError(
+            f"overlap=True needs >= 3*K planes per shard (h={h}, K={g}): "
+            "thinner shards have no ghost-independent interior to overlap")
+
+    kw = dict(k_steps=k_steps, omega=omega, density=density, accel=accel,
+              accel_plane=accel_plane, bz=bz, interpret=interpret,
+              vmem_limit=vmem_limit, global_nz=nz)
+
+    def local_chunk(f_loc, mask_ext_f):
+        _, _, ny, nx = f_loc.shape
+        shard_z0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
+
+        # 1. issue the ghost exchange first...
+        ghost_s = halo_lib.ring_shift(f_loc[:, -g:], ROW, +1)
+        ghost_n = halo_lib.ring_shift(f_loc[:, :g], ROW, -1)
+
+        # 2. ...then the interior kernel, which depends only on f_loc:
+        # XLA may overlap it with the ppermutes. Planes outside [K, h-K)
+        # wrap around the slab (wrong physics) and are discarded/excluded.
+        int_new, t_i = d3q19_pallas.stepk(
+            f_loc, mask_ext_f[g : g + h], plane_offset=shard_z0,
+            valid_planes=(g, h - g), **kw)
+
+        # 3. boundary kernels: K ghost + 2K owned planes -> the K edge
+        # planes whose stencil reaches the ghosts (bz auto-chosen: the
+        # caller's interior bz need not divide the 3K-plane slabs)
+        bkw = dict(kw, bz=None)
+        south_in = jnp.concatenate([ghost_s, f_loc[:, : 2 * g]], axis=1)
+        s_new, t_s = d3q19_pallas.stepk(
+            south_in, mask_ext_f[: 3 * g], plane_offset=shard_z0 - g,
+            valid_planes=(g, 2 * g), **bkw)
+        north_in = jnp.concatenate([f_loc[:, h - 2 * g :], ghost_n], axis=1)
+        n_new, t_n = d3q19_pallas.stepk(
+            north_in, mask_ext_f[g + h - 2 * g : g + h + g],
+            plane_offset=shard_z0 + h - 2 * g,
+            valid_planes=(g, 2 * g), **bkw)
+
+        f_new = jnp.concatenate(
+            [s_new[:, g : 2 * g], int_new[:, g : h - g],
+             n_new[:, g : 2 * g]], axis=1)
+        return f_new, jax.lax.psum(t_i + t_s + t_n, ROW)
+
+    return jax.shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(P(None, ROW, None, None), P(ROW, None, None)),
+        out_specs=(P(None, ROW, None, None), P()),
+        check_vma=False,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_steps", "k_steps", "omega", "density",
                      "accel", "accel_plane", "nz", "bz", "interpret",
-                     "vmem_limit"),
+                     "vmem_limit", "overlap"),
 )
 def run(
     f: jax.Array,
@@ -150,13 +249,14 @@ def run(
     bz: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
+    overlap: bool = False,
 ):
     if num_steps % k_steps:
         raise ValueError("num_steps must be a multiple of k_steps")
     chunk = make_chunk_fn(
         mesh, k_steps=k_steps, omega=omega, density=density, accel=accel,
         accel_plane=accel_plane, nz=nz, bz=bz, interpret=interpret,
-        vmem_limit=vmem_limit,
+        vmem_limit=vmem_limit, overlap=overlap,
     )
 
     def body(carry, _):
@@ -178,9 +278,11 @@ def simulate(
     mesh: Mesh | None = None,
     k_steps: int = 2,
     bz: int | None = None,
+    overlap: bool = False,
 ):
     """Full 3-D distributed simulation on the ghost-plane + local-Pallas
-    path. Same contract as d3q19.simulate."""
+    path. Same contract as d3q19.simulate. overlap=True uses the
+    communication/compute-overlapped chunk (even sharding only)."""
     if mesh is None:
         mesh = make_z_mesh()
     (n_shards,) = mesh.devices.shape
@@ -209,7 +311,7 @@ def simulate(
     f_final, tot = run(
         f, mask_ext_f, mesh=mesh, num_steps=num_steps, k_steps=k_steps,
         omega=omega, density=density, accel=accel, accel_plane=nz - 2,
-        nz=nz, bz=bz,
+        nz=nz, bz=bz, overlap=overlap,
     )
     if pad:
         f_final = f_final[:, :nz]

@@ -123,6 +123,57 @@ def test_ghost_plane_pallas_sharded_matches_jax():
                                    err_msg=f"shards={n_shards} k={k}")
 
 
+def test_overlap_chunk_matches_fused_and_global():
+    """The communication/compute-overlapped chunk (interior kernel issued
+    before the ghosts land + two 3K-plane boundary kernels) computes the
+    same physics as the fused ghost-extended path and the single-device
+    run."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    nz, ny, nx = 24, 16, 128
+    f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=8)
+    for n_shards, k in ((4, 2), (2, 2), (2, 4)):
+        mesh = pallas_sharded_3d.make_z_mesh(n_shards)
+        f_ov, av_ov = pallas_sharded_3d.simulate(
+            nz, ny, nx, num_steps=8, mesh=mesh, k_steps=k, overlap=True)
+        f_fu, av_fu = pallas_sharded_3d.simulate(
+            nz, ny, nx, num_steps=8, mesh=mesh, k_steps=k)
+        np.testing.assert_allclose(np.asarray(av_ov), np.asarray(av_fu),
+                                   rtol=1e-6,
+                                   err_msg=f"shards={n_shards} k={k}")
+        np.testing.assert_allclose(np.asarray(f_ov), np.asarray(f_fu),
+                                   rtol=1e-6, atol=1e-8,
+                                   err_msg=f"shards={n_shards} k={k}")
+        np.testing.assert_allclose(np.asarray(av_ov), np.asarray(av_ref),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(f_ov), np.asarray(f_ref),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_overlap_rejects_thin_or_padded_shards():
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    mesh = pallas_sharded_3d.make_z_mesh(4)
+    # uneven nz pads the last shard -> overlap unsupported
+    with pytest.raises(ValueError, match="pad"):
+        pallas_sharded_3d.simulate(22, 16, 128, num_steps=4, mesh=mesh,
+                                   k_steps=2, overlap=True)
+    # h = 4 < 3K = 6: no ghost-independent interior
+    with pytest.raises(ValueError, match="interior"):
+        pallas_sharded_3d.simulate(16, 16, 128, num_steps=4, mesh=mesh,
+                                   k_steps=2, overlap=True)
+
+
 class TestGolden3D:
     """Regression anchor for the 3-D engines: a committed f64 CPU trace
     (tests/data/d3q19_16x16x32_200.av_vels.dat) plays the role check/ plays
