@@ -72,6 +72,18 @@ def main(argv=None) -> int:
     parser.add_argument("--num-devices", type=int, required=True)
     parser.add_argument("--band", type=int, default=None,
                         help="also subdivide into Pallas row-bands")
+    parser.add_argument("--blocks", type=int, default=None,
+                        help="subdivide each device slice into ~N blocks "
+                             "via the strategy family (reference: "
+                             "toTilePartitionsForSingleIpu)")
+    parser.add_argument("--strategy", default="auto",
+                        choices=["auto", "rows", "cols", "grid", "single"],
+                        help="block strategy for --blocks (auto = per-slice "
+                             "shape dispatch)")
+    parser.add_argument("--overlay", type=int, nargs=2, metavar=("R", "C"),
+                        default=None,
+                        help="fixed RxC overlay per device slice "
+                             "(newTilePartitions analogue)")
     parser.add_argument("--lanes", action="store_true",
                         help="overlay the 8x128 VPU register-tile grid and "
                              "tint partial-tile (wasted-lane) cells")
@@ -81,7 +93,12 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     part = partition.partition_for_devices(args.ny, args.nx, args.num_devices)
-    if args.band:
+    if args.overlay:
+        part = partition.fixed_overlay_partitions(part, *args.overlay)
+    elif args.blocks:
+        part = partition.to_block_partitions(part, args.blocks,
+                                             strategy=args.strategy)
+    elif args.band:
         part = partition.to_band_partitions(part, args.band)
 
     st = partition.stats(part)

@@ -61,6 +61,9 @@ class Target:
 
 GridPartitioning = dict[Target, Slice2D]
 
+VPU_SUBLANES = 8   # f32 register tile height
+VPU_LANES = 128    # register tile width
+
 
 def _split_even(n: int, parts: int) -> list[tuple[int, int]]:
     """Round-robin even split of [0, n) into `parts` contiguous ranges
@@ -101,6 +104,91 @@ def to_band_partitions(partitioning: GridPartitioning, band: int) -> GridPartiti
     return out
 
 
+def _overlay_slice(tgt: Target, sl: Slice2D, r: int, c: int,
+                   out: GridPartitioning) -> None:
+    """R x C even grid overlay of one slice; band index = br * c + bc."""
+    for br, (rs, re) in enumerate(_split_even(sl.height, r)):
+        for bc, (cs, ce) in enumerate(_split_even(sl.width, c)):
+            out[Target(tgt.device_row, tgt.device_col, br * c + bc)] = \
+                Slice2D(sl.row_start + rs, sl.row_start + re,
+                        sl.col_start + cs, sl.col_start + ce)
+
+
+def dispatch_strategy(sl: Slice2D, blocks: int, *, min_rows: int = VPU_SUBLANES,
+                      min_cols: int = VPU_LANES) -> str:
+    """Pick a per-slice block strategy — the TPU recast of the reference's
+    strategy dispatch `toTilePartitionsForSingleIpu` (StructuredGridUtils
+    .hpp:568-587: singleTile / longAndNarrow / shortAndWide /
+    generalTileGrid chosen by slice shape).
+
+    Units are VPU register tiles (min_rows x min_cols = 8 x 128 for f32),
+    the shape below which further splitting only manufactures lane waste —
+    the analogue of the reference's min-6x6-cells-per-tile rule.
+    Returns 'single' | 'rows' | 'cols' | 'grid'.
+    """
+    r_units = max(1, sl.height // min_rows)
+    c_units = max(1, sl.width // min_cols)
+    if blocks <= 1 or r_units * c_units == 1:
+        return "single"
+    if c_units == 1:
+        return "rows"        # long-and-narrow: strips along the rows
+    if r_units == 1:
+        return "cols"        # short-and-wide: strips along the columns
+    return "grid"            # both axes splittable: aspect-ratio overlay
+
+
+def to_block_partitions(partitioning: GridPartitioning, blocks: int, *,
+                        strategy: str = "auto",
+                        min_rows: int = VPU_SUBLANES,
+                        min_cols: int = VPU_LANES) -> GridPartitioning:
+    """Subdivide each device slice into ~`blocks` Pallas-block slices using
+    a per-slice strategy (the reference's four-strategy tile family).
+
+    strategy='auto' dispatches per slice via `dispatch_strategy`; 'rows' /
+    'cols' / 'grid' / 'single' force one. Production kernels use the
+    measured `d2q9_pallas.choose_band` heuristic instead (bands won the
+    measurements, experiments/min-band-size); this planner family exists
+    for introspection/viz parity and for exploring non-band layouts.
+    """
+    out: GridPartitioning = {}
+    for tgt, sl in partitioning.items():
+        s = strategy if strategy != "auto" else dispatch_strategy(
+            sl, blocks, min_rows=min_rows, min_cols=min_cols)
+        if s == "single":
+            out[Target(tgt.device_row, tgt.device_col, 0)] = sl
+        elif s == "rows":
+            n = min(blocks, max(1, sl.height // min_rows))
+            _overlay_slice(tgt, sl, n, 1, out)
+        elif s == "cols":
+            n = min(blocks, max(1, sl.width // min_cols))
+            _overlay_slice(tgt, sl, 1, n, out)
+        elif s == "grid":
+            # aspect-ratio-driven R x C overlay (generalTileGridStrategy,
+            # StructuredGridUtils.hpp:309-412), in register-tile units
+            r_units = max(1, sl.height // min_rows)
+            c_units = max(1, sl.width // min_cols)
+            r = max(1, min(r_units,
+                           round((blocks * r_units / c_units) ** 0.5)))
+            c = max(1, min(c_units, blocks // r))
+            _overlay_slice(tgt, sl, r, c, out)
+        else:
+            raise ValueError(f"unknown strategy {s!r}")
+    return out
+
+
+def fixed_overlay_partitions(partitioning: GridPartitioning, rows: int,
+                             cols: int) -> GridPartitioning:
+    """Fixed rows x cols overlay of every device slice — the analogue of the
+    reference's `newTilePartitions` fixed 38x32 per-IPU overlay
+    (StructuredGridUtils.hpp:606-645), with the remainder distributed by
+    the same round-robin rule."""
+    out: GridPartitioning = {}
+    for tgt, sl in partitioning.items():
+        _overlay_slice(tgt, sl, min(rows, sl.height), min(cols, sl.width),
+                       out)
+    return out
+
+
 def serialize_to_json(partitioning: GridPartitioning, path: str | Path | None = None) -> str:
     """Same shape as grids::serializeToJson (StructuredGridUtils.hpp:135-158):
     a mapping of target-name -> slice bounds."""
@@ -135,10 +223,6 @@ class PartitionStats:
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
-
-
-VPU_SUBLANES = 8   # f32 register tile height
-VPU_LANES = 128    # register tile width
 
 
 def stats(partitioning: GridPartitioning) -> PartitionStats:

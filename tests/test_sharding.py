@@ -197,3 +197,58 @@ def test_planner_handles_grids_the_padded_runtime_cannot():
     st = partition.stats(part)
     assert st.num_targets == 8
     assert st.total_cells == 81
+
+
+def _covers_exactly(parent: dict, child: dict) -> bool:
+    """Child slices form a disjoint exact cover of the parent slices."""
+    import numpy as np
+
+    ny = max(s.row_end for s in parent.values())
+    nx = max(s.col_end for s in parent.values())
+    cnt = np.zeros((ny, nx), int)
+    for s in child.values():
+        cnt[s.row_start:s.row_end, s.col_start:s.col_end] += 1
+    want = np.zeros((ny, nx), int)
+    for s in parent.values():
+        want[s.row_start:s.row_end, s.col_start:s.col_end] += 1
+    return bool((cnt == want).all())
+
+
+class TestBlockStrategies:
+    """The reference's four-strategy tile family (singleTile /
+    longAndNarrow / shortAndWide / generalTileGrid dispatched by slice
+    shape, StructuredGridUtils.hpp:568-587) recast in VPU-tile units."""
+
+    def test_dispatch_by_shape(self):
+        S = partition.Slice2D
+        assert partition.dispatch_strategy(S(0, 8, 0, 128), 6) == "single"
+        assert partition.dispatch_strategy(S(0, 512, 0, 128), 6) == "rows"
+        assert partition.dispatch_strategy(S(0, 8, 0, 1024), 6) == "cols"
+        assert partition.dispatch_strategy(S(0, 256, 0, 512), 6) == "grid"
+
+    @pytest.mark.parametrize("ny,nx,blocks", [(512, 512, 6), (64, 1024, 4),
+                                              (1024, 128, 6), (16, 128, 6)])
+    def test_auto_blocks_cover_exactly(self, ny, nx, blocks):
+        part = partition.partition_for_devices(ny, nx, 4)
+        blk = partition.to_block_partitions(part, blocks)
+        assert _covers_exactly(part, blk)
+        assert partition.stats(blk).total_cells == ny * nx
+
+    def test_forced_grid_strategy_covers(self):
+        part = partition.partition_for_devices(256, 512, 2)
+        blk = partition.to_block_partitions(part, 6, strategy="grid")
+        assert _covers_exactly(part, blk)
+        # more than one block per device along both axes
+        rows = {s.row_start for s in blk.values()}
+        cols = {s.col_start for s in blk.values()}
+        assert len(rows) > 2 and len(cols) > 1
+
+    def test_fixed_overlay_matches_reference_shape(self):
+        """newTilePartitions analogue: a fixed R x C overlay per device
+        slice with round-robin remainders."""
+        part = partition.partition_for_devices(1024, 1024, 1)
+        blk = partition.fixed_overlay_partitions(part, 38, 32)
+        assert len(blk) == 38 * 32
+        assert _covers_exactly(part, blk)
+        heights = {s.height for s in blk.values()}
+        assert heights == {26, 27}  # 1024 = 38*27 - 2, reference's 27/26 rows
