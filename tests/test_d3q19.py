@@ -137,7 +137,7 @@ def test_overlap_chunk_matches_fused_and_global():
 
     nz, ny, nx = 24, 16, 128
     f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=8)
-    for n_shards, k in ((4, 2), (2, 2), (2, 4)):
+    for n_shards, k in ((4, 2),):
         mesh = pallas_sharded_3d.make_z_mesh(n_shards)
         f_ov, av_ov = pallas_sharded_3d.simulate(
             nz, ny, nx, num_steps=8, mesh=mesh, k_steps=k, overlap=True)
@@ -206,19 +206,22 @@ class TestGolden3D:
         assert rel.max() < 1e-4, f"{engine}: {rel.max():.3e}"
 
 
-def test_ghost_plane_pallas_sharded_uneven_nz():
+@pytest.mark.parametrize("cases", [
+    ((22, 4, 2), (14, 2, 4)),
+    pytest.param(((10, 4, 1), (30, 4, 2)), marks=pytest.mark.slow),
+])
+def test_ghost_plane_pallas_sharded_uneven_nz(cases):
     """Uneven nz runs via pad-and-mask on the z-shards (the 3-D analogue of
     the 2-D remainder strategy): av_vels and the valid planes match the
     single-device run."""
     import jax
-    import pytest
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from lbm_tpu.parallel import pallas_sharded_3d
 
     ny, nx = 16, 128
-    for nz, n_shards, k in ((22, 4, 2), (10, 4, 1), (30, 4, 2), (14, 2, 4)):
+    for nz, n_shards, k in cases:
         f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=4 * k)
         mesh = pallas_sharded_3d.make_z_mesh(n_shards)
         f_sh, av_sh = pallas_sharded_3d.simulate(

@@ -63,7 +63,7 @@ def test_rejects_bad_k():
                            density=0.1, accel=0.005, accel_plane=6, bz=4)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", [0, 1] + [pytest.param(s, marks=pytest.mark.slow) for s in (2, 3)])
 def test_random_3d_config_parity(seed):
     rng = np.random.default_rng(500 + seed)
     nz = 2 * int(rng.integers(2, 7))
@@ -120,7 +120,9 @@ def test_zmajor_layout_matches_qmajor():
 
 @pytest.mark.parametrize("cfg", [
     (8, 16, 128, 2, 8, 2),
-    (8, 32, 128, 4, 16, 4),
+    # the K=4 big-block case costs ~70 s of CPU interpret for the same
+    # code path -> slow suite
+    pytest.param((8, 32, 128, 4, 16, 4), marks=pytest.mark.slow),
     (8, 16, 128, 4, 8, 1),
 ])
 def test_blocked_zy_kernel_matches_slab(cfg):
