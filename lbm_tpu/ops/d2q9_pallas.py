@@ -58,14 +58,17 @@ def default_vmem_limit(band: int, nx: int, k_steps: int) -> int:
     return min(120 * 1024 * 1024, int((operands + scratch) * 1.35))
 
 
-def choose_band(h: int, w: int, vmem_budget: int = 24 * 1024 * 1024) -> int:
+def choose_band(h: int, w: int, vmem_budget: int = 32 * 1024 * 1024) -> int:
     """Band height B (multiple of 8, divides H) for the fused kernel.
 
-    Measured on v5e (experiments/min-band-size, large-grid): the optimum is a
-    roughly CONSTANT ~21MB double-buffered working set (band 128 at W=1024,
-    64 at 2048, 32 at 4096) — a wider band amortises the 16/B halo rows but
-    loses more to VMEM pressure in the pipeline. Take the largest B <= 128
-    whose working set fits the ~24MB budget."""
+    Measured on v5e (experiments/min-band-size, large-grid sweeps): the
+    optimum is a roughly constant working set (band 128 at W=1024, 64 at
+    2048, 32 at 4096, 16 at 8192) — a wider band amortises the 16/B halo
+    rows but loses more to VMEM pressure in the pipeline. The 32MB budget
+    reproduces every measured optimum; the earlier 24MB figure degraded
+    8192² to band 8 (8,460 vs 9,690 MLUPS at band 16, sweep8192.csv): the
+    halo term (2*9*8*W) grows with width and was eating the band's share.
+    Take the largest B <= 128 whose working set fits the budget."""
     best = 8
     for b in range(8, min(h, 128) + 1, 8):
         if h % b:

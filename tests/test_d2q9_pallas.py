@@ -85,3 +85,12 @@ def test_choose_band():
     assert d2q9_pallas.choose_band(1024, 1024) % 8 == 0
     assert 1024 % d2q9_pallas.choose_band(1024, 1024) == 0
     assert d2q9_pallas.choose_band(8, 128) == 8
+
+
+def test_choose_band_matches_measured_optima():
+    """The budget rule must reproduce the per-width optima measured on v5e
+    (experiments/min-band-size + large-grid sweep2048/4096/8192 CSVs)."""
+    assert d2q9_pallas.choose_band(1024, 1024) == 128
+    assert d2q9_pallas.choose_band(2048, 2048) == 64
+    assert d2q9_pallas.choose_band(4096, 4096) == 32
+    assert d2q9_pallas.choose_band(8192, 8192) == 16
