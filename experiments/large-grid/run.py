@@ -38,6 +38,9 @@ def main():
         platform = jax.devices()[0].platform
         out.write("grid,platform,engine,iters,seconds,mlups\n")
         for n in (1024, 2048, 4096, 8192):
+            # 8192^2 runs 500 iters: the 2000-iter pure-XLA run crashed the
+            # TPU worker in round 2 (CLAUDE.md) and 500 is converged there
+            n_it = min(iters, 500) if n >= 8192 else iters
             f0 = jnp.full((9, n, n), 0.1 / 9, jnp.float32)
             mask_f = jnp.zeros((n, n), jnp.float32)
             mask_b = jnp.zeros((n, n), bool)
@@ -47,25 +50,25 @@ def main():
                 "jax": lambda ns: d2q9.run(
                     f0, mask_b, amask, num_steps=ns, omega=1.85,
                     accel_w1=w1, accel_w2=w2),
-                # constant ~21MB working set wins (measured: at 2048/4096 the
-                # smaller band beats wider-band halo amortisation)
-                "pallas_k4": lambda ns, band=max(8, 128 * 1024 // n):
+                # the production selector (measured per-width optima:
+                # 128/64/32/16 — see choose_band + the sweep CSVs)
+                "pallas_k4": lambda ns, band=d2q9_pallas.choose_band(n, n):
                     d2q9_pallas.run(
                         f0, mask_f, num_steps=ns, omega=1.85, accel_w1=w1,
                         accel_w2=w2, accel_row=n - 2, band=band, k_steps=4),
             }
             for name, fn in engines.items():
                 try:
-                    np.asarray(fn(iters)[1])
+                    np.asarray(fn(n_it)[1])
                     t0 = time.perf_counter()
-                    np.asarray(fn(iters)[1])
+                    np.asarray(fn(n_it)[1])
                     dt = time.perf_counter() - t0
                 except Exception as e:  # noqa: BLE001 - record OOM etc.
                     print(f"{n}x{n},{name}: {type(e).__name__}")
-                    out.write(f"{n}x{n},{platform},{name},{iters},failed,0\n")
+                    out.write(f"{n}x{n},{platform},{name},{n_it},failed,0\n")
                     continue
-                mlups = iters * n * n / dt / 1e6
-                row = f"{n}x{n},{platform},{name},{iters},{dt:.4f},{mlups:.1f}"
+                mlups = n_it * n * n / dt / 1e6
+                row = f"{n}x{n},{platform},{name},{n_it},{dt:.4f},{mlups:.1f}"
                 print(row, flush=True)
                 out.write(row + "\n")
     print(f"wrote {out_path}")
