@@ -100,11 +100,14 @@ def test_sharded_engine_matches_jax():
                                rtol=2e-5, atol=1e-7)
 
 
-def test_ghost_plane_pallas_sharded_matches_jax():
+@pytest.mark.parametrize("configs", [
+    ((4, 2),),
+    pytest.param(((8, 2), (2, 4)), marks=pytest.mark.slow),
+])
+def test_ghost_plane_pallas_sharded_matches_jax(configs):
     """The communication-avoiding 3-D path (ghost planes + local K-step
     Pallas kernel) reproduces the single-device run."""
     import jax
-    import pytest
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -112,7 +115,7 @@ def test_ghost_plane_pallas_sharded_matches_jax():
 
     nz, ny, nx = 16, 16, 128
     f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=8)
-    for n_shards, k in ((4, 2), (8, 2), (2, 4)):
+    for n_shards, k in configs:
         mesh = pallas_sharded_3d.make_z_mesh(n_shards)
         f_sh, av_sh = pallas_sharded_3d.simulate(
             nz, ny, nx, num_steps=8, mesh=mesh, k_steps=k)

@@ -109,7 +109,7 @@ def test_zmajor_layout_matches_qmajor():
     mask[0] = True
     mask[-1] = True
     mask_f = jnp.asarray(mask).astype(f.dtype)
-    kw = dict(num_steps=4, k_steps=2, omega=1.85, density=0.1, accel=0.005,
+    kw = dict(num_steps=2, k_steps=2, omega=1.85, density=0.1, accel=0.005,
               accel_plane=nz - 2, bz=2)
     f_q, t_q = d3q19_pallas.run(f, mask_f, **kw)
     f_z, t_z = d3q19_pallas.run(f, mask_f, layout="zmajor", **kw)

@@ -174,7 +174,9 @@ def test_random_uneven_shapes_fuzz():
     rng = np.random.default_rng(7)
     meshes = [(2, 4), (4, 2), (8, 1), (1, 8), (2, 2)]
     done = 0
-    while done < 5:
+    # 3 cases in the fast suite (each is 2 fresh jit compiles); the
+    # deterministic shape tests above cover the remaining mesh shapes
+    while done < 3:
         r, c = meshes[done % len(meshes)]
         ny = int(rng.integers(r * 3, 80))
         nx = int(rng.integers(c * 3, 80))
