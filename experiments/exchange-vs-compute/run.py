@@ -101,10 +101,23 @@ def main():
                                        ((128, 256, 256), 8)):
             ici_b = 2 * K * 19 * ny3 * nx3 * 4
             t_ici = ici_b / (ICI_GBPS * 1e9)
-            t_cmp = K * (nz // shards) * ny3 * nx3 / 2.7e9
+            h = nz // shards
+            t_cmp = K * h * ny3 * nx3 / 2.7e9
             pct = 100 * t_ici / (t_ici + t_cmp)
             row = (f"model3d,tpu-v5e-model,{nz}x{ny3}x{nx3},z{shards},{K},"
                    f"{t_ici + t_cmp:.2e},{t_cmp:.2e},{t_ici:.2e},{pct:.1f},0")
+            print(row)
+            out.write(row + "\n")
+            # overlap=True (pallas_sharded_3d): the ghost transfer rides
+            # under the interior kernel (h-2K of h planes); only the
+            # residual max(0, t_ici - t_interior) is exposed
+            t_int = K * (h - 2 * K) * ny3 * nx3 / 2.7e9
+            t_exposed = max(0.0, t_ici - t_int)
+            tot = t_cmp + t_exposed
+            pct_o = 100 * t_exposed / tot
+            row = (f"model3d-overlap,tpu-v5e-model,{nz}x{ny3}x{nx3},"
+                   f"z{shards},{K},{tot:.2e},{t_cmp:.2e},{t_exposed:.2e},"
+                   f"{pct_o:.1f},0")
             print(row)
             out.write(row + "\n")
     print(f"wrote {out_path}")
