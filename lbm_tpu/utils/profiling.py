@@ -77,8 +77,17 @@ def dump_hlo(fn, *args, path: str | Path | None = None, optimized: bool = False,
 
 def enable_compilation_cache(cache_dir: str | Path) -> None:
     """Persistent on-disk compilation cache: compiled executables survive
-    process restarts (the AOT serialize/deserialize analogue)."""
+    process restarts (the AOT serialize/deserialize analogue).
+
+    Re-pointing an already-initialised cache needs an explicit reset —
+    this JAX version keeps the first directory otherwise (writes silently
+    keep landing in the old one)."""
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    if (jax.config.jax_compilation_cache_dir
+            and jax.config.jax_compilation_cache_dir != str(cache_dir)):
+        from jax._src.compilation_cache import reset_cache
+
+        reset_cache()
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -17,6 +17,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache (gitignored .jax_cache/, shared with bench):
+# the suite's wall time is dominated by CPU jit compiles, and JAX's cache
+# keys on the optimised HLO + flags, so source changes recompile correctly
+# while unchanged tests rerun warm
+from lbm_tpu.utils import profiling  # noqa: E402
+
+profiling.enable_compilation_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")

@@ -34,14 +34,21 @@ def test_aot_compile_runs():
 
 
 def test_compilation_cache_round_trip(tmp_path):
-    profiling.enable_compilation_cache(tmp_path / "cache")
+    import jax
 
-    def fn(x):
-        return x + 12345.0
+    prev = jax.config.jax_compilation_cache_dir  # conftest's global cache
+    try:
+        profiling.enable_compilation_cache(tmp_path / "cache")
 
-    _ = np.asarray(jax_jit_run(fn))
-    # something was persisted
-    assert any((tmp_path / "cache").iterdir())
+        def fn(x):
+            return x + 12345.0
+
+        _ = np.asarray(jax_jit_run(fn))
+        # something was persisted
+        assert any((tmp_path / "cache").iterdir())
+    finally:
+        if prev:
+            profiling.enable_compilation_cache(prev)
 
 
 def jax_jit_run(fn):
