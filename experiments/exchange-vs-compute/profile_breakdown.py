@@ -108,10 +108,13 @@ def main():
         out.write("grid,mesh,platform,iters,exchange_ms,sync_ms,compute_ms,"
                   "exchange_pct_of_ops,sync_pct\n")
         for n in (256, 512, 1024, 2048):
-            tot, (r, c) = breakdown(n, iters if n < 2048 else max(iters // 5, 10))
+            # record the iter count actually RUN (2048^2 is reduced), so
+            # absolute ms columns stay comparable per-iteration
+            n_it = iters if n < 2048 else max(iters // 5, 10)
+            tot, (r, c) = breakdown(n, n_it)
             ex, sy, co = (tot[k] / 1e3 for k in ("exchange", "sync", "compute"))
             total = ex + sy + co
-            row = (f"{n}x{n},{r}x{c},cpu,{iters},{ex:.1f},{sy:.1f},{co:.1f},"
+            row = (f"{n}x{n},{r}x{c},cpu,{n_it},{ex:.1f},{sy:.1f},{co:.1f},"
                    f"{100 * ex / total:.1f},{100 * sy / total:.1f}")
             print(row, flush=True)
             out.write(row + "\n")

@@ -95,7 +95,9 @@ def main():
             # own checker (av_vels AND per-cell |u|) at 1% tolerance
             fs_err, check_pass = "", ""
             if grid in FS_GOLDEN and full_length:
-                out = tempfile.mkdtemp(prefix=f"golden-matrix-{grid}-{name}-")
+                ctx = tempfile.TemporaryDirectory(
+                    prefix=f"golden-matrix-{grid}-{name}-")
+                out = ctx.name
                 av_path = os.path.join(out, "av_vels.dat")
                 fs_path = os.path.join(out, "final_state.dat")
                 io.write_av_vels(av_path, av)
@@ -120,6 +122,7 @@ def main():
                 check_pass = str(int(proc.returncode == 0))
                 ok &= proc.returncode == 0
                 print(proc.stdout.strip(), flush=True)
+                ctx.cleanup()
 
             ok &= passed
             row = (f"{grid},{name},{platform},{n},{rel.max():.3e},"

@@ -67,6 +67,11 @@ def main(argv=None) -> int:
     from ..ops import d3q19
 
     cells = args.nz * args.ny * args.nx
+    if args.overlap and args.engine != "sharded-pallas":
+        parser.error("--overlap applies to --engine sharded-pallas only")
+    if args.overlap and (args.checkpoint_every or args.resume):
+        parser.error("--overlap is not supported with checkpointed runs "
+                     "(the chunked runner uses the fused exchange path)")
     if args.checkpoint_every or args.resume:
         if args.engine == "sharded":
             parser.error("--checkpoint-every/--resume support engines "

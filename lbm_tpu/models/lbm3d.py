@@ -20,15 +20,32 @@ from ..ops import d3q19_lattice  # numpy-only; keeps engine='native' JAX-free
 
 
 def select_k_steps(engine: str, num_steps: int, checkpoint_every: int,
-                   nz: int) -> int:
+                   nz: int, n_shards: int | None = None) -> int:
     """Deepest K compatible with bit-exact chunking for this engine.
 
     Single-chip 'pallas' additionally needs nz % k == 0 (the kernel's
     z-halo blocks are K-plane aligned); 'sharded-pallas' pads uneven nz
-    via plan_planes' pad-and-mask, so odd nz must NOT force K=1 there."""
-    return next(k for k in (2, 1)
-                if num_steps % k == 0 and checkpoint_every % k == 0
-                and (engine == "sharded-pallas" or nz % k == 0))
+    via plan_planes' pad-and-mask, so odd nz must NOT force K=1 there —
+    but the pad plan must actually be feasible for the mesh (e.g. nz=7 on
+    4 shards at K=2 would leave the last shard with < K valid planes), so
+    the selector checks plan_planes for the real shard count."""
+    for k in (2, 1):
+        if num_steps % k or checkpoint_every % k:
+            continue
+        if engine == "sharded-pallas":
+            if n_shards is not None:
+                from ..parallel import pallas_sharded_3d
+
+                try:
+                    pallas_sharded_3d.plan_planes(nz, n_shards, k)
+                except ValueError:
+                    continue
+        elif nz % k:
+            continue
+        return k
+    # nothing feasible (e.g. more shards than planes even at K=1): return
+    # 1 and let the runner surface plan_planes' descriptive error
+    return 1
 
 
 def run_simulation_with_checkpoints(
@@ -63,7 +80,13 @@ def run_simulation_with_checkpoints(
 
     pallas_like = engine in ("pallas", "sharded-pallas")
     if pallas_like and k_steps is None:
-        k_steps = select_k_steps(engine, num_steps, checkpoint_every, nz)
+        n_shards = None
+        if engine == "sharded-pallas":
+            import jax
+
+            n_shards = num_devices or len(jax.devices())
+        k_steps = select_k_steps(engine, num_steps, checkpoint_every, nz,
+                                 n_shards=n_shards)
     if pallas_like and (num_steps % k_steps or checkpoint_every % k_steps):
         raise ValueError(
             f"pallas checkpointing needs num_steps ({num_steps}) and "

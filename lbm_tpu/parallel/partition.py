@@ -167,7 +167,9 @@ def to_block_partitions(partitioning: GridPartitioning, blocks: int, *,
             # StructuredGridUtils.hpp:309-412), in register-tile units
             r_units = max(1, sl.height // min_rows)
             c_units = max(1, sl.width // min_cols)
-            r = max(1, min(r_units,
+            # clamp r to the requested block count too: tall slices would
+            # otherwise overshoot (r x 1 blocks >> blocks)
+            r = max(1, min(r_units, blocks,
                            round((blocks * r_units / c_units) ** 0.5)))
             c = max(1, min(c_units, blocks // r))
             _overlay_slice(tgt, sl, r, c, out)

@@ -19,6 +19,7 @@ TPU recast of the reference's observability stack (SURVEY.md section 5):
 from __future__ import annotations
 
 import contextlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -83,12 +84,13 @@ def enable_compilation_cache(cache_dir: str | Path) -> None:
     this JAX version keeps the first directory otherwise (writes silently
     keep landing in the old one)."""
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    if (jax.config.jax_compilation_cache_dir
-            and jax.config.jax_compilation_cache_dir != str(cache_dir)):
+    new = os.path.realpath(str(cache_dir))
+    prev = jax.config.jax_compilation_cache_dir
+    if prev and os.path.realpath(prev) != new:
         from jax._src.compilation_cache import reset_cache
 
         reset_cache()
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_compilation_cache_dir", new)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 

@@ -140,9 +140,15 @@ def test_select_k_steps_engine_rules():
     assert lbm3d_model.select_k_steps("pallas", 4, 2, 7) == 1
     assert lbm3d_model.select_k_steps("pallas", 4, 2, 8) == 2
     # ...but NOT on sharded-pallas (plan_planes pads uneven nz)
-    assert lbm3d_model.select_k_steps("sharded-pallas", 4, 2, 7) == 2
+    assert lbm3d_model.select_k_steps("sharded-pallas", 4, 2, 7,
+                                      n_shards=2) == 2
+    # unless the pad plan is infeasible for the mesh: nz=7 on 4 shards at
+    # K=2 leaves the last shard < K valid planes -> fall back to K=1
+    assert lbm3d_model.select_k_steps("sharded-pallas", 4, 2, 7,
+                                      n_shards=4) == 1
     # chunking divisibility still wins
-    assert lbm3d_model.select_k_steps("sharded-pallas", 4, 3, 8) == 1
+    assert lbm3d_model.select_k_steps("sharded-pallas", 4, 3, 8,
+                                      n_shards=2) == 1
 
 
 def test_sharded_pallas_auto_k_on_odd_nz(tmp_path):
