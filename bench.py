@@ -40,6 +40,10 @@ PALLAS_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PALLAS_TIMEOUT", "900"))
 # locations embedded in the serialized kernel and changes the cache key) —
 # give the 3-D subprocess enough headroom to survive a cold start.
 D3Q19_TIMEOUT_S = int(os.environ.get("LBM_BENCH_D3Q19_TIMEOUT", "1500"))
+# 3-D timed window: 600 iters ~ 0.45 s — long enough that the tunnel's
+# multi-ms dispatch jitter stays under ~1% (200 iters bounced 2,480-2,820
+# MLUPS run to run). Shared by main() and the --d3q19-only subprocess.
+D3_ITERS = 600
 
 
 def _setup():
@@ -202,7 +206,7 @@ def main() -> int:
     # informational secondary metric: the 3-D stretch config, in the same
     # timeout-guarded subprocess pattern as the 2-D pallas engine so a cold
     # Mosaic compile hang/abort can never lose the headline line
-    d3_iters = 200
+    d3_iters = D3_ITERS
     d3_secs, d3_err = run_pallas_subprocess(
         cmd=[sys.executable, os.path.abspath(__file__), "--d3q19-only"],
         timeout=D3Q19_TIMEOUT_S,
@@ -216,7 +220,7 @@ def main() -> int:
     return 0
 
 
-def d3q19_only(iters: int = 200) -> int:
+def d3q19_only(iters: int = D3_ITERS) -> int:
     """Subprocess entry: print seconds for the 3-D stretch config."""
     import jax.numpy as jnp
 
@@ -238,11 +242,18 @@ def d3q19_only(iters: int = 200) -> int:
     return 0
 
 
-def _time_runner_n(runner, n):
+def _time_runner_n(runner, n, repeats: int = 3):
+    """Best-of-`repeats` timed runs after a warm-up. The tunnel platform
+    adds multi-ms dispatch/fetch jitter per run (CLAUDE.md), so a single
+    timed window bounces by several % — the minimum over a few runs is the
+    honest compute estimate (noise here is strictly additive)."""
     np.asarray(runner(n)[1])  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(runner(n)[1])
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(runner(n)[1])
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 if __name__ == "__main__":
