@@ -114,10 +114,12 @@ def pallas_only() -> int:
                                    f"max rel err {rel:.2e}"}))
         return 1
 
-    t0 = time.perf_counter()
-    np.asarray(runner(NUM_STEPS)[1])
-    dt = time.perf_counter() - t0
-    print(json.dumps({"seconds": dt, "max_rel_err_100_steps": rel}))
+    best = float("inf")
+    for _ in range(3):  # best-of-3, same methodology as _time_runner_n
+        t0 = time.perf_counter()
+        np.asarray(runner(NUM_STEPS)[1])
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"seconds": best, "max_rel_err_100_steps": rel}))
     return 0
 
 

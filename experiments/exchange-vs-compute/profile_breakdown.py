@@ -63,20 +63,12 @@ def classify(name: str) -> str | None:
     return None  # host/python/umbrella events
 
 
-def breakdown(n: int, iters: int, mesh_shape=None):
+def breakdown(n: int, iters: int):
     p = Params(nx=n, ny=n, max_iters=iters, reynolds_dim=10, density=0.1,
                accel=0.005, omega=1.85)
     f0 = state.initial_distributions(p, np.float32)
     mask = np.zeros((n, n), bool)
-    if mesh_shape is not None:
-        import jax as _jax
-
-        r, c = mesh_shape
-        dev_grid = np.array(_jax.devices()[: r * c]).reshape(r, c)
-        mesh = _jax.sharding.Mesh(dev_grid,
-                                  (mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS))
-    else:
-        mesh = mesh_lib.make_mesh(8, n, n)
+    mesh = mesh_lib.make_mesh(8, n, n)
     f, pm, am, (pr, pc) = halo.prepare_sharded(p, f0, mask, mesh, "ppermute",
                                                first_accelerate=True)
 

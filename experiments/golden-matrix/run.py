@@ -34,7 +34,7 @@ FLOORS = {"128x128": 2e-3, "128x256": 2.5e-3, "256x256": 3e-3,
 # --grids 1024x1024 explicitly to duplicate the 20k-step flagship here)
 DEFAULT_GRIDS = ["128x128", "128x256", "256x256"]
 # grids whose golden final_state blobs ship with the reference: full runs
-# on these also face verify/check.py's per-cell |u| gate at the
+# on these also face verify/check.py's per-cell final_state gate at the
 # reference's own 1% tolerance (reference: check/check.py:106-129)
 FS_GOLDEN = ("128x128", "128x256")
 
@@ -92,7 +92,9 @@ def main():
             passed = rel.max() < floor
 
             # final_state: write both .dat files and face the reference's
-            # own checker (av_vels AND per-cell |u|) at 1% tolerance
+            # own checker (av_vels AND per-cell final_state column 5 —
+            # pressure, the column check/check.py:66 actually gates,
+            # though it is often described as |u|) at 1% tolerance
             fs_err, check_pass = "", ""
             if grid in FS_GOLDEN and full_length:
                 ctx = tempfile.TemporaryDirectory(

@@ -91,9 +91,15 @@ def main():
         with open(CSV) as fp:
             existing = [ln.strip() for ln in fp.readlines()[1:]
                         if ln.strip() and not ln.startswith(platform + ",")]
+    def sort_key(row):
+        # (platform, numeric device count) — lexicographic sort would put
+        # 'cpu,16' before 'cpu,2'
+        parts = row.split(",")
+        return (parts[0], int(parts[1]))
+
     with open(CSV, "w") as fp:
         fp.write(HEADER)
-        fp.write("\n".join(sorted(existing + rows)) + "\n")
+        fp.write("\n".join(sorted(existing + rows, key=sort_key)) + "\n")
     print(f"wrote {CSV}")
     return 0
 

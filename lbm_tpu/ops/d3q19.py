@@ -182,6 +182,10 @@ def simulate(
     engine='sharded' runs the jax step on a (z, y)-sharded mesh with
     XLA-implicit halo collectives (the 3-D multi-chip path — the winning
     "implicit" strategy of the 2-D halo study applied to z/y planes)."""
+    if overlap and engine != "sharded-pallas":
+        raise ValueError(
+            f"overlap=True is only implemented for engine='sharded-pallas' "
+            f"(ghost-plane exchange/compute overlap), not engine={engine!r}")
     if engine == "native":
         from . import d3q19_native
 

@@ -177,6 +177,18 @@ def test_overlap_rejects_thin_or_padded_shards():
                                    k_steps=2, overlap=True)
 
 
+def test_simulate_rejects_overlap_on_other_engines():
+    import pytest
+
+    # overlap is a sharded-pallas-only feature; other engines must raise
+    # rather than silently run without it (so a benchmark can't
+    # mis-attribute a fused-path timing to the overlap)
+    for engine in ("jax", "pallas", "sharded", "native"):
+        with pytest.raises(ValueError, match="overlap"):
+            d3q19.simulate(8, 8, 16, num_steps=2, engine=engine,
+                           overlap=True)
+
+
 class TestGolden3D:
     """Regression anchor for the 3-D engines: a committed f64 CPU trace
     (tests/data/d3q19_16x16x32_200.av_vels.dat) plays the role check/ plays

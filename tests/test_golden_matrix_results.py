@@ -5,7 +5,9 @@ these tests pin what the committed rows must say: every (grid, engine)
 pair within its accuracy floor, and — for the grids whose golden
 final_state blobs ship with the reference — verify/check.py passing at
 the reference's own 1% tolerance INCLUDING the per-cell final_state gate
-(reference: check/check.py:106-129)."""
+(reference: check/check.py:66 — it gates column 5 of the
+`x y u_x u_y u pressure obstacle` rows, i.e. pressure; fs_max_rel_err
+records the same column)."""
 
 import csv
 import os
