@@ -30,7 +30,7 @@ profiling.enable_compilation_cache(os.path.join(
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    iters -= iters % 4  # pallas_k4 needs a multiple of k_steps=4
+    iters -= iters % 8  # the K=8 large-grid configs need a multiple of 8
     if iters <= 0:
         sys.exit("iters must be >= 4")
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
@@ -41,6 +41,7 @@ def main():
             # 8192^2 runs 500 iters: the 2000-iter pure-XLA run crashed the
             # TPU worker in round 2 (CLAUDE.md) and 500 is converged there
             n_it = min(iters, 500) if n >= 8192 else iters
+            n_it -= n_it % 8  # K=8 configs need a multiple of 8 (496 @8192)
             f0 = jnp.full((9, n, n), 0.1 / 9, jnp.float32)
             mask_f = jnp.zeros((n, n), jnp.float32)
             mask_b = jnp.zeros((n, n), bool)
@@ -50,19 +51,23 @@ def main():
                 "jax": lambda ns: d2q9.run(
                     f0, mask_b, amask, num_steps=ns, omega=1.85,
                     accel_w1=w1, accel_w2=w2),
-                # the production selector (measured per-width optima:
-                # 128/64/32/16 — see choose_band + the sweep CSVs)
-                "pallas_k4": lambda ns, band=d2q9_pallas.choose_band(n, n):
+                # the production selector (measured (band, K) optima: K=4 on
+                # the resident 1024^2, K=8 at double width beyond — see
+                # choose_config + sweepk8.csv)
+                "pallas_auto": lambda ns, cfg=d2q9_pallas.choose_config(n, n):
                     d2q9_pallas.run(
                         f0, mask_f, num_steps=ns, omega=1.85, accel_w1=w1,
-                        accel_w2=w2, accel_row=n - 2, band=band, k_steps=4),
+                        accel_w2=w2, accel_row=n - 2, band=cfg[0],
+                        k_steps=cfg[1]),
             }
             for name, fn in engines.items():
                 try:
-                    np.asarray(fn(n_it)[1])
-                    t0 = time.perf_counter()
-                    np.asarray(fn(n_it)[1])
-                    dt = time.perf_counter() - t0
+                    np.asarray(fn(n_it)[1])  # compile + warm
+                    dt = float("inf")  # best-of-3 (additive tunnel jitter)
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        np.asarray(fn(n_it)[1])
+                        dt = min(dt, time.perf_counter() - t0)
                 except Exception as e:  # noqa: BLE001 - record OOM etc.
                     print(f"{n}x{n},{name}: {type(e).__name__}")
                     out.write(f"{n}x{n},{platform},{name},{n_it},failed,0\n")

@@ -118,9 +118,10 @@ def run_simulation_with_checkpoints(
     engine both the total and checkpoint_every must be multiples of
     k_steps — kernels compiled at different K differ at the ulp level
     (different Mosaic instruction selection), so a remainder chunk at
-    another K would break exactness. k_steps=None picks the deepest
-    K <= 4 dividing both (mirroring d2q9_pallas.simulate's K fallback,
-    so any step count the plain CLI accepts also checkpoints).
+    another K would break exactness. k_steps=None prefers the grid's
+    measured choose_config K (8 on non-resident grids), falling back to
+    the deepest of 4/2/1 dividing both (mirroring d2q9_pallas.simulate's
+    K fallback, so any step count the plain CLI accepts also checkpoints).
     Multi-chip engines ('sharded' with a halo `strategy`, 'sharded-pallas')
     checkpoint the gathered global state, so a checkpoint written on one
     mesh can resume on another (valid cells are mesh-independent).
@@ -132,7 +133,13 @@ def run_simulation_with_checkpoints(
     total = p.max_iters
     pallas_like = engine in ("pallas", "sharded-pallas")
     if pallas_like and k_steps is None:
-        k_steps = next(k for k in (4, 2, 1)
+        # prefer the measured (band, K) optimum for the grid (K=8 beyond
+        # the VMEM-resident sizes), falling back to the deepest dividing K
+        from ..ops import d2q9_pallas
+
+        preferred = (d2q9_pallas.choose_config(p.ny, p.nx)[1]
+                     if engine == "pallas" else 4)
+        k_steps = next(k for k in (preferred, 4, 2, 1)
                        if total % k == 0 and checkpoint_every % k == 0)
     elif k_steps is None:
         k_steps = 4  # unused by non-pallas engines

@@ -282,7 +282,10 @@ def stepk(
     """
     _, ny, nx = f.shape
     if band is None:
-        band = choose_band(ny, nx)
+        # the band optimum depends on K: K>=6 amortises its halo recompute
+        # only at ~double the K=4 band width (experiments/large-grid)
+        band = choose_band(ny, nx, LARGE_GRID_VMEM_BUDGET) \
+            if k_steps >= 6 else choose_band(ny, nx)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if valid_rows is None:
@@ -356,9 +359,11 @@ def run(
 def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,
              k_steps: int | None = None, **kw):
     """Reference-semantics full simulation on the Pallas engine.
-    Same contract as d2q9.simulate. Defaults to the deepest temporal blocking
-    that divides max_iters (<= 4), like the reference's
-    Repeat(maxIters/2, two_timesteps) (main/LbmAoS.cpp:354-356)."""
+    Same contract as d2q9.simulate. Defaults to `choose_config`'s measured
+    (band, K) optimum for the grid (K=4 on VMEM-resident grids, K=8 at a
+    wider band beyond), falling back to the deepest K dividing max_iters —
+    the reference's Repeat(maxIters/2, two_timesteps) analogue
+    (main/LbmAoS.cpp:354-356)."""
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
     obstacle_mask = jnp.asarray(obstacle_mask)
@@ -368,10 +373,13 @@ def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,
     )
     mask_f = obstacle_mask.astype(f.dtype)
     if k_steps is None:
+        preferred = choose_config(params.ny, params.nx)[1]
         k_steps = next(
-            (k for k in (4, 2, 1) if params.max_iters % k == 0 and params.ny >= 16),
+            (k for k in (preferred, 4, 2, 1)
+             if params.max_iters % k == 0 and params.ny >= 16),
             1,
         )
+    # band defaults inside stepk, matched to the K actually used
     f_final, tot_u = run(
         f, mask_f, num_steps=params.max_iters, omega=params.omega,
         accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row,
@@ -379,3 +387,37 @@ def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,
     )
     num_free = jnp.asarray((~obstacle_mask).sum(), dtype=f.dtype)
     return f_final, tot_u / num_free
+
+
+# -- production (band, K) selection -----------------------------------------
+# Appended AFTER the kernel definitions on purpose: inserting lines above
+# them would shift the source locations embedded in the serialized Mosaic
+# kernels and cold-invalidate the compile cache (CLAUDE.md).
+
+# Grids whose ping-pong state (2 x 9*h*w*4 B) leaves XLA room to promote it
+# into VMEM next to the kernel's scoped allocation — the resident regime
+# (experiments/d2q9-blocked-floor/residency.csv: 1,870 vs 311 GB/s copy).
+RESIDENT_STATE_CELLS = 1024 * 1024
+
+# Working-set budget that reproduces every measured K=8 per-width optimum
+# (band 128/64/32 at widths 2048/4096/8192 — experiments/large-grid
+# sweepk8.csv); the next band up at each width measured slower or failed
+# Mosaic VMEM allocation outright (~84-89 MB working sets).
+LARGE_GRID_VMEM_BUDGET = 50 * 1024 * 1024
+
+
+def choose_config(h: int, w: int) -> tuple[int, int]:
+    """(band, k_steps) for the fused kernel, from the measured optima.
+
+    Resident grids (h*w <= 1024^2): K=4 at the choose_band default — the
+    kernel is VPU-bound there (K=8 measured +1-3%, not worth doubling the
+    Mosaic compile). Larger grids can never be VMEM-resident and run
+    against the ~330 GB/s shape-independent HBM floor
+    (experiments/d2q9-blocked-floor), so deeper temporal blocking pays:
+    K=8 at double the K=4 band width measures 11,325 / 11,484 / 10,413
+    MLUPS at 2048^2 / 4096^2 / 8192^2 vs 10,188 / 10,216 / 9,696 for the
+    old K=4 configs (+7-12%, experiments/large-grid).
+    """
+    if h * w <= RESIDENT_STATE_CELLS:
+        return choose_band(h, w), 4
+    return choose_band(h, w, vmem_budget=LARGE_GRID_VMEM_BUDGET), 8

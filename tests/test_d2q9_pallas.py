@@ -94,3 +94,16 @@ def test_choose_band_matches_measured_optima():
     assert d2q9_pallas.choose_band(2048, 2048) == 64
     assert d2q9_pallas.choose_band(4096, 4096) == 32
     assert d2q9_pallas.choose_band(8192, 8192) == 16
+
+
+def test_choose_config_matches_measured_optima():
+    """choose_config must reproduce the measured production (band, K)
+    pairs: K=4 on VMEM-resident grids (K=8 measured slower there), K=8 at
+    double the band width beyond (experiments/large-grid sweepk8.csv:
+    11,325 / 11,484 / 10,413 MLUPS at 2048^2/4096^2/8192^2)."""
+    assert d2q9_pallas.choose_config(1024, 1024) == (128, 4)
+    assert d2q9_pallas.choose_config(2048, 2048) == (128, 8)
+    assert d2q9_pallas.choose_config(4096, 4096) == (64, 8)
+    assert d2q9_pallas.choose_config(8192, 8192) == (32, 8)
+    # small/test grids stay in the resident K=4 regime
+    assert d2q9_pallas.choose_config(128, 128)[1] == 4

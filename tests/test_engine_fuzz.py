@@ -18,7 +18,7 @@ def test_random_config_parity(seed):
     nx = 128 * int(rng.integers(1, 3))        # 128 or 256
     bands = [b for b in (8, 16, 24, 32) if ny % b == 0]
     band = int(rng.choice(bands))
-    k = int(rng.choice([1, 2, 3, 4]))
+    k = int(rng.choice([1, 2, 3, 4, 6, 8]))  # full supported K range
     steps = k * int(rng.integers(1, 3))
     accel_row = int(rng.integers(0, ny))      # anywhere, incl. wrap edges
     omega = float(rng.uniform(0.6, 1.9))
