@@ -218,7 +218,46 @@ def main() -> int:
             d3_iters * 64 * 128 * 256 / d3_secs / 1e6, 1)
     else:
         out["d3q19_error"] = d3_err
+
+    # informational secondary metric: the largest non-resident grid config
+    # (choose_config: band 64 / K=8 at 4096^2), same guarded pattern
+    g4_secs, g4_err = run_pallas_subprocess(
+        cmd=[sys.executable, os.path.abspath(__file__), "--d2q9-4096-only"],
+        timeout=D3Q19_TIMEOUT_S,
+    )
+    if g4_secs is not None:
+        out["d2q9_4096_mlups"] = round(
+            D2_4096_ITERS * 4096 * 4096 / g4_secs / 1e6, 1)
+    else:
+        out["d2q9_4096_error"] = g4_err
     print(json.dumps(out))
+    return 0
+
+
+D2_4096_ITERS = 2000
+
+
+def d2q9_4096_only() -> int:
+    """Subprocess entry: print seconds for the 4096^2 K=8 config."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops import d2q9_pallas
+    from lbm_tpu.utils import profiling
+
+    profiling.enable_compilation_cache(CACHE_DIR)
+    n = 4096
+    f = jnp.full((9, n, n), 0.1 / 9, jnp.float32)
+    mask_f = jnp.zeros((n, n), jnp.float32)
+    w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
+    band, k = d2q9_pallas.choose_config(n, n)
+
+    def runner(m):
+        return d2q9_pallas.run(
+            f, mask_f, num_steps=m, omega=1.85, accel_w1=w1, accel_w2=w2,
+            accel_row=n - 2, band=band, k_steps=k)
+
+    dt = _time_runner_n(runner, D2_4096_ITERS)
+    print(json.dumps({"seconds": dt}))
     return 0
 
 
@@ -263,5 +302,7 @@ if __name__ == "__main__":
         sys.exit(pallas_only())
     elif "--d3q19-only" in sys.argv:
         sys.exit(d3q19_only())
+    elif "--d2q9-4096-only" in sys.argv:
+        sys.exit(d2q9_4096_only())
     else:
         sys.exit(main())

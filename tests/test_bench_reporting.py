@@ -50,3 +50,9 @@ def test_subprocess_good_json_is_parsed():
 def test_main_emits_pallas_error_field():
     src = inspect.getsource(bench.main)
     assert '"pallas_error"' in src
+
+
+def test_main_emits_secondary_metric_error_fields():
+    src = inspect.getsource(bench.main)
+    assert '"d3q19_error"' in src
+    assert '"d2q9_4096_error"' in src
