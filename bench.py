@@ -40,6 +40,9 @@ PALLAS_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PALLAS_TIMEOUT", "900"))
 # locations embedded in the serialized kernel and changes the cache key) —
 # give the 3-D subprocess enough headroom to survive a cold start.
 D3Q19_TIMEOUT_S = int(os.environ.get("LBM_BENCH_D3Q19_TIMEOUT", "1500"))
+# 4096^2 K=8 secondary metric: a cold K=8 Mosaic compile plus the jax
+# reference engine compile needs more headroom than the 3-D budget
+D2_4096_TIMEOUT_S = int(os.environ.get("LBM_BENCH_4096_TIMEOUT", "2100"))
 # 3-D timed window: 600 iters ~ 0.45 s — long enough that the tunnel's
 # multi-ms dispatch jitter stays under ~1% (200 iters bounced 2,480-2,820
 # MLUPS run to run). Shared by main() and the --d3q19-only subprocess.
@@ -223,7 +226,7 @@ def main() -> int:
     # (choose_config: band 64 / K=8 at 4096^2), same guarded pattern
     g4_secs, g4_err = run_pallas_subprocess(
         cmd=[sys.executable, os.path.abspath(__file__), "--d2q9-4096-only"],
-        timeout=D3Q19_TIMEOUT_S,
+        timeout=D2_4096_TIMEOUT_S,
     )
     if g4_secs is not None:
         out["d2q9_4096_mlups"] = round(
@@ -238,16 +241,22 @@ D2_4096_ITERS = 2000
 
 
 def d2q9_4096_only() -> int:
-    """Subprocess entry: print seconds for the 4096^2 K=8 config."""
+    """Subprocess entry: print seconds for the 4096^2 choose_config
+    (K=8) kernel, gated against the pure-JAX engine on-device. There is
+    no golden data at 4096^2, so the gate is engine parity over a
+    100-step prefix of the per-step Sum|u| series — a Mosaic miscompile
+    of the K=8 unroll must fail HERE, on real TPU output, not just in
+    the CPU interpret-mode tests."""
     import jax.numpy as jnp
 
-    from lbm_tpu.ops import d2q9_pallas
+    from lbm_tpu.ops import d2q9, d2q9_pallas
     from lbm_tpu.utils import profiling
 
     profiling.enable_compilation_cache(CACHE_DIR)
     n = 4096
     f = jnp.full((9, n, n), 0.1 / 9, jnp.float32)
-    mask_f = jnp.zeros((n, n), jnp.float32)
+    mask_b = jnp.zeros((n, n), bool)
+    mask_f = mask_b.astype(f.dtype)
     w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
     band, k = d2q9_pallas.choose_config(n, n)
 
@@ -256,8 +265,18 @@ def d2q9_4096_only() -> int:
             f, mask_f, num_steps=m, omega=1.85, accel_w1=w1, accel_w2=w2,
             accel_row=n - 2, band=band, k_steps=k)
 
+    amask = d2q9.accel_row_mask(n, n, n - 2)
+    _, tots_ref = d2q9.run(f, mask_b, amask, num_steps=96, omega=1.85,
+                           accel_w1=w1, accel_w2=w2)
+    _, tots = runner(96)
+    rel = float(jnp.max(jnp.abs(tots - tots_ref) / jnp.abs(tots_ref)))
+    if rel > GATE_MAX_REL_ERR:
+        print(json.dumps({"error": f"4096^2 K={k} engine-parity gate "
+                                   f"failed: max rel err {rel:.2e}"}))
+        return 1
+
     dt = _time_runner_n(runner, D2_4096_ITERS)
-    print(json.dumps({"seconds": dt}))
+    print(json.dumps({"seconds": dt, "parity_max_rel_err_96_steps": rel}))
     return 0
 
 

@@ -28,7 +28,8 @@ Findings (TPU v5e):
   * 1024^2 is fast because the state is VMEM-RESIDENT, not because its
     band shape is better: same shape, same grid, 1,870 vs 311 GB/s purely
     by scoped-limit headroom. No grid >= 2048^2 (151 MB state) can ever
-    be promoted, so ~330 GB/s/direction is the hard memory ceiling there.
+    be promoted, so ~330 GB/s (combined r+w) is the hard memory ceiling
+    there.
   * Production-kernel corollary (vmem sweep on the real stepk at 4096^2,
     band 32, K=4): 58 MB default 10,216 MLUPS, 90 MB 10,197 — more
     double-buffer headroom does NOT recover the exposed compute

@@ -32,7 +32,7 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     iters -= iters % 8  # the K=8 large-grid configs need a multiple of 8
     if iters <= 0:
-        sys.exit("iters must be >= 4")
+        sys.exit("iters must be >= 8 (K=8 chunking)")
     out_path = os.path.join(os.path.dirname(__file__), "results.csv")
     with open(out_path, "w") as out:
         platform = jax.devices()[0].platform

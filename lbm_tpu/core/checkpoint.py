@@ -28,6 +28,10 @@ class Checkpoint:
     av_vels: np.ndarray    # per-step av_vels for steps [0, step)
     step: int
     params: Params
+    # K the writing engine chunked at (pallas engines; 0/None = not
+    # applicable or a pre-round-3 checkpoint). Resume must continue at the
+    # SAME K: kernels compiled at different K differ at the ulp level.
+    k_steps: int | None = None
 
     @property
     def steps_done(self) -> int:
@@ -44,13 +48,14 @@ def _atomic_savez(path: Path, **arrays) -> None:
 
 
 def save(path: str | Path, f: np.ndarray, av_vels: np.ndarray, step: int,
-         params: Params) -> None:
+         params: Params, k_steps: int | None = None) -> None:
     _atomic_savez(
         Path(path), version=FORMAT_VERSION, f=np.asarray(f),
         av_vels=np.asarray(av_vels, np.float64), step=int(step),
         nx=params.nx, ny=params.ny, max_iters=params.max_iters,
         reynolds_dim=params.reynolds_dim, density=params.density,
         accel=params.accel, omega=params.omega,
+        k_steps=int(k_steps or 0),
     )
 
 
@@ -67,8 +72,9 @@ def load(path: str | Path, expect: Params | None = None) -> Checkpoint:
             reynolds_dim=int(z["reynolds_dim"]), density=float(z["density"]),
             accel=float(z["accel"]), omega=float(z["omega"]),
         )
+        recorded_k = int(z["k_steps"]) if "k_steps" in z.files else 0
         ck = Checkpoint(f=z["f"], av_vels=z["av_vels"], step=int(z["step"]),
-                        params=params)
+                        params=params, k_steps=recorded_k or None)
     if expect is not None and any(
         getattr(params, k) != getattr(expect, k)
         for k in ("nx", "ny", "omega", "density", "accel", "reynolds_dim")

@@ -132,30 +132,57 @@ def run_simulation_with_checkpoints(
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
     total = p.max_iters
     pallas_like = engine in ("pallas", "sharded-pallas")
-    if pallas_like and k_steps is None:
-        # prefer the measured (band, K) optimum for the grid (K=8 beyond
-        # the VMEM-resident sizes), falling back to the deepest dividing K
-        from ..ops import d2q9_pallas
+    auto_k = k_steps is None
 
-        preferred = (d2q9_pallas.choose_config(p.ny, p.nx)[1]
-                     if engine == "pallas" else 4)
-        k_steps = next(k for k in (preferred, 4, 2, 1)
-                       if total % k == 0 and checkpoint_every % k == 0)
+    aw = d2q9.AccelWeights.from_params(p)
+    accel_row = p.ny - 2
+    num_free = float((~obstacles.mask).sum())
+
+    ck_path = Path(checkpoint_path)
+    ck = None
+    if resume and ck_path.exists():
+        ck = checkpoint.load(ck_path, expect=p)
+
+    # K selection AFTER loading any checkpoint: checkpoints record the K
+    # they were written with, and resuming at a different K would break
+    # bit-exactness silently (kernels compiled at different K differ at
+    # the ulp level) even when the start step happens to align.
+    if pallas_like and auto_k:
+        if ck is not None and (ck.k_steps or 0) > 0:
+            k_steps = ck.k_steps  # continue exactly as written
+        elif ck is not None:
+            # legacy checkpoint without a recorded K: reproduce the
+            # pre-choose_config default chain it was written under
+            k_steps = next(k for k in (4, 2, 1)
+                           if total % k == 0 and checkpoint_every % k == 0)
+        else:
+            # fresh run: prefer the measured (band, K) optimum for the
+            # grid (K=8 beyond the VMEM-resident sizes), falling back to
+            # the deepest dividing K
+            from ..ops import d2q9_pallas
+
+            preferred = (d2q9_pallas.choose_config(p.ny, p.nx)[1]
+                         if engine == "pallas" else 4)
+            k_steps = next(k for k in (preferred, 4, 2, 1)
+                           if total % k == 0 and checkpoint_every % k == 0)
     elif k_steps is None:
         k_steps = 4  # unused by non-pallas engines
+    if (pallas_like and ck is not None and (ck.k_steps or 0) > 0
+            and k_steps != ck.k_steps):
+        raise ValueError(
+            f"checkpoint was written at k_steps={ck.k_steps} but this run "
+            f"uses k_steps={k_steps}; kernels compiled at different K "
+            "differ at the ulp level — pass the writer's k_steps (or "
+            "k_steps=None to adopt it)"
+        )
     if pallas_like and (total % k_steps or checkpoint_every % k_steps):
         raise ValueError(
             f"pallas checkpointing needs num_steps ({total}) and "
             f"checkpoint_every ({checkpoint_every}) divisible by "
             f"k_steps ({k_steps}) for bit-exact chunking"
         )
-    aw = d2q9.AccelWeights.from_params(p)
-    accel_row = p.ny - 2
-    num_free = float((~obstacles.mask).sum())
 
-    ck_path = Path(checkpoint_path)
-    if resume and ck_path.exists():
-        ck = checkpoint.load(ck_path, expect=p)
+    if ck is not None:
         f_host = np.asarray(ck.f, np.dtype(dtype))
         start = ck.step
         if start > total:
@@ -284,7 +311,7 @@ def run_simulation_with_checkpoints(
                 tot / jnp.asarray(num_free, f.dtype), np.float64))
         start += n
         checkpoint.save(ck_path, gather(f), np.concatenate(av_parts),
-                        start, p)
+                        start, p, k_steps=k_steps if pallas_like else None)
     compute_seconds = time.perf_counter() - t0
 
     av_np = np.concatenate(av_parts) if av_parts else np.zeros(0)

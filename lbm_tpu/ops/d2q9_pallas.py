@@ -397,7 +397,16 @@ def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,
 # Grids whose ping-pong state (2 x 9*h*w*4 B) leaves XLA room to promote it
 # into VMEM next to the kernel's scoped allocation — the resident regime
 # (experiments/d2q9-blocked-floor/residency.csv: 1,870 vs 311 GB/s copy).
-RESIDENT_STATE_CELLS = 1024 * 1024
+# The cliff is MEASURED between 1280^2 (56 MB state, K=4 still wins) and
+# 1408^2 (68 MB, K=4 drops 21% and K=8 takes over) —
+# experiments/residency-cliff.
+RESIDENT_STATE_CELLS = 1280 * 1280
+
+# K=8's extra halo recompute (2*(K-1) = 14 ghost rows per band) only
+# amortises at bands >= 32: measured K=8-vs-K=4 at the SAME band is
+# +11% at band 32 x 8192 lanes (10,413 vs 9,390) but -10% at band 16
+# (8,689 vs 9,696) — sweepk8.csv.
+MIN_K8_BAND = 32
 
 # Working-set budget that reproduces every measured K=8 per-width optimum
 # (band 128/64/32 at widths 2048/4096/8192 — experiments/large-grid
@@ -409,15 +418,21 @@ LARGE_GRID_VMEM_BUDGET = 50 * 1024 * 1024
 def choose_config(h: int, w: int) -> tuple[int, int]:
     """(band, k_steps) for the fused kernel, from the measured optima.
 
-    Resident grids (h*w <= 1024^2): K=4 at the choose_band default — the
-    kernel is VPU-bound there (K=8 measured +1-3%, not worth doubling the
-    Mosaic compile). Larger grids can never be VMEM-resident and run
-    against the ~330 GB/s shape-independent HBM floor
-    (experiments/d2q9-blocked-floor), so deeper temporal blocking pays:
-    K=8 at double the K=4 band width measures 11,325 / 11,484 / 10,413
-    MLUPS at 2048^2 / 4096^2 / 8192^2 vs 10,188 / 10,216 / 9,696 for the
-    old K=4 configs (+7-12%, experiments/large-grid).
+    Resident grids (h*w <= 1280^2, ~56 MB state): K=4 at the choose_band
+    default — the kernel is VPU-bound there and K=8 measured SLOWER
+    (experiments/residency-cliff: 11,854 vs 10,524 at 1024^2). Larger
+    grids can never be VMEM-resident and run against the ~330 GB/s
+    shape-independent HBM floor (experiments/d2q9-blocked-floor), so
+    deeper temporal blocking pays: K=8 wins at every measured
+    non-resident size — 10,420-11,484 MLUPS at 1408^2..8192^2 vs
+    8,601-10,216 for K=4 (residency-cliff + large-grid/sweepk8.csv) —
+    PROVIDED its band is >= MIN_K8_BAND so the K-halo recompute stays
+    amortised; on very wide grids where the 50 MB budget only affords a
+    narrower band, fall back to K=4 (K=8 at band 16 measured -10%).
     """
     if h * w <= RESIDENT_STATE_CELLS:
         return choose_band(h, w), 4
-    return choose_band(h, w, vmem_budget=LARGE_GRID_VMEM_BUDGET), 8
+    band_k8 = choose_band(h, w, vmem_budget=LARGE_GRID_VMEM_BUDGET)
+    if band_k8 >= MIN_K8_BAND:
+        return band_k8, 8
+    return choose_band(h, w), 4

@@ -176,3 +176,29 @@ def test_sharded_resume_matches_sharded_direct(case, tmp_path):
         checkpoint_path=ck, checkpoint_every=20, resume=True)
     np.testing.assert_array_equal(resumed.av_vels, direct.av_vels)
     np.testing.assert_array_equal(resumed.f_final, direct.f_final)
+
+
+@needs_ref
+def test_resume_adopts_and_guards_recorded_k(case, tmp_path):
+    """Checkpoints record the K they were chunked at; auto-K resume must
+    adopt it (never silently re-chunk at a different K — kernels compiled
+    at different K differ at the ulp level), and an explicit conflicting
+    K must be rejected."""
+    from lbm_tpu.core import checkpoint
+
+    p, obs = case
+    ck = tmp_path / "ck.npz"
+    lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine="pallas", num_steps=16, k_steps=2,
+        checkpoint_path=ck, checkpoint_every=8)
+    assert checkpoint.load(ck).k_steps == 2
+    with pytest.raises(ValueError, match="k_steps=2"):
+        lbm_model.run_simulation_with_checkpoints(
+            p, obs, engine="pallas", num_steps=32, k_steps=4,
+            checkpoint_path=ck, checkpoint_every=8, resume=True)
+    # auto-K adopts the writer's K even when the auto rule would differ
+    res = lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine="pallas", num_steps=32,
+        checkpoint_path=ck, checkpoint_every=8, resume=True)
+    assert res.av_vels.shape == (32,)
+    assert checkpoint.load(ck).k_steps == 2

@@ -96,14 +96,27 @@ def test_choose_band_matches_measured_optima():
     assert d2q9_pallas.choose_band(8192, 8192) == 16
 
 
-def test_choose_config_matches_measured_optima():
-    """choose_config must reproduce the measured production (band, K)
-    pairs: K=4 on VMEM-resident grids (K=8 measured slower there), K=8 at
-    double the band width beyond (experiments/large-grid sweepk8.csv:
-    11,325 / 11,484 / 10,413 MLUPS at 2048^2/4096^2/8192^2)."""
-    assert d2q9_pallas.choose_config(1024, 1024) == (128, 4)
-    assert d2q9_pallas.choose_config(2048, 2048) == (128, 8)
-    assert d2q9_pallas.choose_config(4096, 4096) == (64, 8)
-    assert d2q9_pallas.choose_config(8192, 8192) == (32, 8)
-    # small/test grids stay in the resident K=4 regime
+def test_choose_config_regime_rules():
+    """The regime rules behind choose_config (the per-size optima table
+    itself is pinned by tests/test_large_grid_results.py against the
+    committed CSV): resident grids stay K=4; non-resident grids take K=8
+    ONLY when the 50 MB budget actually widens the band — at an
+    un-widened band K=8's halo recompute loses (sweepk8.csv: 8192^2
+    band 16 K=8 is 8,689 vs 9,696 MLUPS at K=4)."""
+    # small/test grids and the flagship stay in the resident K=4 regime;
+    # the boundary is the MEASURED cliff between 1280^2 and 1408^2
+    # (experiments/residency-cliff: K=4 drops 10,894 -> 8,601 MLUPS)
     assert d2q9_pallas.choose_config(128, 128)[1] == 4
+    assert d2q9_pallas.choose_config(1024, 1024)[1] == 4
+    assert d2q9_pallas.choose_config(1280, 1280)[1] == 4
+    assert d2q9_pallas.choose_config(1408, 1408) == (128, 8)
+    # non-resident, band widens -> K=8 at the wider band
+    band4 = d2q9_pallas.choose_band(4096, 4096)
+    band8, k8 = d2q9_pallas.choose_config(4096, 4096)
+    assert (k8, band8 > band4) == (8, True)
+    # non-resident but the budget cannot widen the band -> fall back to
+    # K=4 rather than ship the measured-slower narrow-band K=8
+    wide = (2048, 16384)
+    assert d2q9_pallas.choose_band(*wide, 50 * 1024 * 1024) == \
+        d2q9_pallas.choose_band(*wide)
+    assert d2q9_pallas.choose_config(*wide)[1] == 4
