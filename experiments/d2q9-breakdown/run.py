@@ -63,9 +63,13 @@ def main():
     for size in args.grids:
         iters = min(args.iters, 500) if size >= 8192 else args.iters
         # K sweep only at the flagship size (the K=1-vs-4 story); elsewhere
-        # the production K=4 with the measured-optimal auto band
-        configs = (((128, 4), (128, 1)) if size == 1024
-                   else ((d2q9_pallas.choose_band(size, size), 4),))
+        # the production selector (round 3: K=8 at the widened band) plus
+        # the old K=4 config for the serialized-compute comparison
+        if size == 1024:
+            configs = ((128, 4), (128, 1))
+        else:
+            band8, k8 = d2q9_pallas.choose_config(size, size)
+            configs = ((band8, k8), (d2q9_pallas.choose_band(size, size), 4))
         f = jnp.full((9, size, size), 0.1 / 9, jnp.float32)
         mask_f = jnp.zeros((size, size), jnp.float32)
         for mode in ("full", "stream_only", "copy"):
