@@ -1,0 +1,262 @@
+#!/usr/bin/env python3
+"""Probe: can a manually double-buffered Pallas kernel overlap DMA with
+compute where the automatic pallas_call pipeline measures ZERO overlap?
+
+Background (experiments/d2q9-breakdown): at the non-resident D2Q9 grids the
+production K-step kernel's wall time is exactly copy + compute — the Mosaic
+pipeline is not hiding the HBM band traffic behind the BGK math, leaving
+~35% of the wall on the table at 4096^2 (perfect overlap would be ~17.9k
+MLUPS vs the measured 11.6k). This probe separates the QUESTION from the
+production kernel with two tiny kernels of identical traffic:
+
+  auto    - plain pallas_call, grid over row bands, kernel = R rounds of
+            synthetic VPU work on the block (R=0 -> pure pipeline copy).
+  manual  - grid=(), refs in ANY memory space, explicit double-buffered
+            make_async_copy in/out per band (the pallas guide's pattern),
+            same R-round body.
+
+For each engine we fit wall(R) ~ intercept + slope*R. Zero overlap shows up
+as wall(R) = copy + compute; full overlap as wall(R) = max(copy, compute).
+The manual-vs-auto R=0 rows also measure whether fewer/bigger DMA
+descriptors lift the ~300 GB/s band-streaming floor itself.
+
+Run on the real TPU:  python experiments/d2q9-overlap/probe.py
+"""
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _work(x, rounds: int):
+    # synthetic VPU work: `rounds` dependent FMAs on the whole block
+    for i in range(rounds):
+        x = x * 1.0001 + 0.0001
+    return x
+
+
+@functools.lru_cache(maxsize=32)
+def build_auto(ny: int, nx: int, band: int, rounds: int,
+               interpret: bool = False, features: frozenset = frozenset()):
+    """Automatic pipeline: the same structure as the production kernel's
+    main band block. `features` re-adds production-kernel traits one at a
+    time to bisect which (if any) defeats Mosaic's DMA/compute overlap:
+
+      smem - a (1,1) SMEM output accumulated across the sequential grid
+             (the production Sum|u| partials, d2q9_pallas.py:187)
+      halo - two extra 8-row input blocks with modular index maps into the
+             same operand (the production K-halo blocks, d2q9_pallas.py:222)
+    """
+    nblk8 = ny // 8
+    bb8 = band // 8
+
+    def kernel(*refs):
+        refs = list(refs)
+        f_ref = refs.pop(0)
+        prev_ref = refs.pop(0) if "halo" in features else None
+        next_ref = refs.pop(0) if "halo" in features else None
+        out_ref = refs.pop(0)
+        tot_ref = refs.pop(0) if "smem" in features else None
+        x = _work(f_ref[:], rounds)
+        if prev_ref is not None:
+            # touch the halo blocks so their DMAs are live
+            x = x.at[:, 0:1, :].add(prev_ref[:, 7:8, :])
+            x = x.at[:, -1:, :].add(next_ref[:, 0:1, :])
+        out_ref[:] = x
+        if tot_ref is not None:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                tot_ref[0, 0] = jnp.zeros((), jnp.float32)
+            tot_ref[0, 0] += jnp.sum(f_ref[0, :1, :128])
+
+    in_specs = [pl.BlockSpec((9, band, nx), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)]
+    if "halo" in features:
+        in_specs += [
+            pl.BlockSpec((9, 8, nx), lambda i: (0, (i * bb8 - 1) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 8, nx), lambda i: (0, (i * bb8 + bb8) % nblk8, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    out_specs = [pl.BlockSpec((9, band, nx), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((9, ny, nx), jnp.float32)]
+    if "smem" in features:
+        out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ny // band,),
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+    n_in = len(in_specs)
+    multi_out = len(out_shape) > 1
+    if n_in > 1 or multi_out:
+        def wrapped(f, _call=call):
+            out = _call(*([f] * n_in))
+            return out[0] if multi_out else out
+        return wrapped
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def build_manual(ny: int, nx: int, band: int, rounds: int,
+                 interpret: bool = False):
+    """Manual double-buffered DMA pipeline (pallas guide pattern): start
+    band i+1's copy-in before computing band i; output copies drain two
+    iterations behind."""
+    nb = ny // band
+
+    def kernel(f_hbm, out_hbm, in_sl, out_sl, in_sem, out_sem):
+        def in_dma(slot, bi):
+            return pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(bi * band, band), :],
+                in_sl.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                out_sl.at[slot],
+                out_hbm.at[:, pl.ds(bi * band, band), :],
+                out_sem.at[slot])
+
+        in_dma(0, 0).start()
+
+        def body(bi, _):
+            slot = jax.lax.rem(bi, 2)
+            nxt = jax.lax.rem(bi + 1, 2)
+
+            @pl.when(bi + 1 < nb)
+            def _():
+                in_dma(nxt, bi + 1).start()
+
+            in_dma(slot, bi).wait()
+            res = _work(in_sl[slot], rounds)
+
+            @pl.when(bi >= 2)
+            def _():
+                out_dma(slot, bi - 2).wait()
+
+            out_sl[slot] = res
+            out_dma(slot, bi).start()
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+        out_dma((nb - 2) % 2, nb - 2).wait()
+        out_dma((nb - 1) % 2, nb - 1).wait()
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, band, nx), jnp.float32),
+            pltpu.VMEM((2, 9, band, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+def time_engine(build, ny, nx, band, rounds, iters, repeats=3):
+    call = build(ny, nx, band, rounds)
+
+    @jax.jit
+    def run(f):
+        return jax.lax.scan(lambda c, _: (call(c), 0), f, None,
+                            length=iters)[0]
+
+    f = jnp.full((9, ny, nx), 0.5, jnp.float32)
+    np.asarray(run(f)[0, :1, :8])  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(run(f)[0, :1, :8])
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def check_correct(ny, nx, band, interpret=False):
+    """The manual pipeline must produce the same bytes as the auto one."""
+    rounds = 2
+    f = jnp.asarray(np.random.default_rng(0).random((9, ny, nx), np.float32))
+    a = np.asarray(build_auto(ny, nx, band, rounds, interpret)(f))
+    m = np.asarray(build_manual(ny, nx, band, rounds, interpret)(f))
+    assert np.array_equal(a, m), float(np.abs(a - m).max())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--band", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--rounds", type=int, nargs="*", default=[0, 16, 32, 64])
+    ap.add_argument("--engines", nargs="*",
+                    default=["auto", "manual"],
+                    choices=["auto", "auto_smem", "auto_halo", "auto_full",
+                             "manual"])
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "probe.csv"))
+    args = ap.parse_args()
+
+    import sys
+    sys.path.insert(0, REPO)
+    from lbm_tpu.utils import profiling
+    profiling.enable_compilation_cache(os.path.join(REPO, ".jax_cache"))
+    platform = jax.devices()[0].platform
+
+    ny = nx = args.size
+    check_correct(256, 256, 64)
+    print("correctness: manual == auto (bit-exact)")
+
+    engines = {
+        "auto": build_auto,
+        "auto_smem": functools.partial(build_auto,
+                                       features=frozenset({"smem"})),
+        "auto_halo": functools.partial(build_auto,
+                                       features=frozenset({"halo"})),
+        "auto_full": functools.partial(build_auto,
+                                       features=frozenset({"smem", "halo"})),
+        "manual": build_manual,
+    }
+    rows = []
+    for eng in args.engines:
+        build = engines[eng]
+        for r in args.rounds:
+            dt = time_engine(build, ny, nx, args.band, r, args.iters)
+            gbps = 2 * 9 * ny * nx * 4 / dt / 1e9
+            rows.append((eng, platform, f"{ny}x{nx}", args.band, r,
+                         args.iters, round(dt * 1e6, 1), round(gbps, 1)))
+            print(json.dumps({"engine": eng, "rounds": r,
+                              "us_per_iter": round(dt * 1e6, 1),
+                              "rw_gbps": round(gbps, 1)}))
+
+    with open(args.out, "w") as fh:
+        fh.write("engine,platform,grid,band,rounds,iters,us_per_iter,rw_gbps\n")
+        for row in rows:
+            fh.write(",".join(str(x) for x in row) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
