@@ -58,6 +58,8 @@ def build_auto(ny: int, nx: int, band: int, rounds: int,
              (the production Sum|u| partials, d2q9_pallas.py:187)
       halo - two extra 8-row input blocks with modular index maps into the
              same operand (the production K-halo blocks, d2q9_pallas.py:222)
+      par  - declare the grid dimension "parallel" (no cross-iteration
+             dependency) instead of the default "arbitrary"
     """
     nblk8 = ny // 8
     bb8 = band // 8
@@ -104,7 +106,11 @@ def build_auto(ny: int, nx: int, band: int, rounds: int,
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT,
+            dimension_semantics=(("parallel",) if "par" in features
+                                 else ("arbitrary",)),
+        ),
         interpret=interpret,
     )
     n_in = len(in_specs)
@@ -213,8 +219,8 @@ def main():
     ap.add_argument("--rounds", type=int, nargs="*", default=[0, 16, 32, 64])
     ap.add_argument("--engines", nargs="*",
                     default=["auto", "manual"],
-                    choices=["auto", "auto_smem", "auto_halo", "auto_full",
-                             "manual"])
+                    choices=["auto", "auto_par", "auto_smem", "auto_halo",
+                             "auto_full", "manual"])
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "probe.csv"))
     args = ap.parse_args()
@@ -231,6 +237,8 @@ def main():
 
     engines = {
         "auto": build_auto,
+        "auto_par": functools.partial(build_auto,
+                                      features=frozenset({"par"})),
         "auto_smem": functools.partial(build_auto,
                                        features=frozenset({"smem"})),
         "auto_halo": functools.partial(build_auto,
