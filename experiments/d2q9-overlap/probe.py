@@ -130,6 +130,9 @@ def build_manual(ny: int, nx: int, band: int, rounds: int,
     band i+1's copy-in before computing band i; output copies drain two
     iterations behind."""
     nb = ny // band
+    if nb < 2:
+        raise ValueError("manual pipeline needs >= 2 bands "
+                         "(the epilogue waits on bands nb-2 and nb-1)")
 
     def kernel(f_hbm, out_hbm, in_sl, out_sl, in_sem, out_sem):
         def in_dma(slot, bi):
