@@ -42,9 +42,13 @@ def run_simulation(
     num_steps: int | None = None,
 ) -> LbmResult:
     """Run the full simulation. `engine` selects the compute path:
-    'jax' (pure-JAX fused step), 'pallas' (hand-fused TPU kernel) or
-    'native' (serial C++ host engine, native/d2q9_serial.cpp — the
-    reference's lbm_cpu/compareLbm analogue; no JAX, no compile)."""
+    'jax' (pure-JAX fused step), 'pallas' (hand-fused TPU kernel),
+    'pallas-manual' (same kernel with an explicitly double-buffered DMA
+    pipeline, ops/d2q9_pallas_manual.py) or 'native' (serial C++ host
+    engine, native/d2q9_serial.cpp — the reference's lbm_cpu/compareLbm
+    analogue; no JAX, no compile). Keeping two pallas generations mirrors
+    the reference's codelet-generation family (D2Q9Codelets vs
+    D2Q9CodeletsOld)."""
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
 
     if engine == "native":
@@ -71,6 +75,10 @@ def run_simulation(
         from ..ops import d2q9_pallas
 
         simulate = d2q9_pallas.simulate
+    elif engine == "pallas-manual":
+        from ..ops import d2q9_pallas_manual
+
+        simulate = d2q9_pallas_manual.simulate
     else:
         raise ValueError(f"unknown engine {engine!r}")
 
@@ -131,7 +139,7 @@ def run_simulation_with_checkpoints(
 
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
     total = p.max_iters
-    pallas_like = engine in ("pallas", "sharded-pallas")
+    pallas_like = engine in ("pallas", "pallas-manual", "sharded-pallas")
     auto_k = k_steps is None
 
     aw = d2q9.AccelWeights.from_params(p)
@@ -162,7 +170,7 @@ def run_simulation_with_checkpoints(
             from ..ops import d2q9_pallas
 
             preferred = (d2q9_pallas.choose_config(p.ny, p.nx)[1]
-                         if engine == "pallas" else 4)
+                         if engine in ("pallas", "pallas-manual") else 4)
             k_steps = next(k for k in (preferred, 4, 2, 1)
                            if total % k == 0 and checkpoint_every % k == 0)
     elif k_steps is None:
@@ -221,7 +229,7 @@ def run_simulation_with_checkpoints(
         def gather(f):
             return f
 
-    elif engine in ("jax", "pallas"):
+    elif engine in ("jax", "pallas", "pallas-manual"):
         mask = jnp.asarray(obstacles.mask)
         f = jnp.asarray(f_host)
         if need_first_accel:
@@ -234,6 +242,13 @@ def run_simulation_with_checkpoints(
             if engine == "jax":
                 return d2q9.run(f, mask, amask, num_steps=n, omega=p.omega,
                                 accel_w1=aw.w1, accel_w2=aw.w2)
+            if engine == "pallas-manual":
+                from ..ops import d2q9_pallas_manual
+
+                return d2q9_pallas_manual.run(
+                    f, mask_f, num_steps=n, omega=p.omega,
+                    accel_w1=aw.w1, accel_w2=aw.w2,
+                    accel_row=accel_row, k_steps=k_steps)
             from ..ops import d2q9_pallas
 
             return d2q9_pallas.run(f, mask_f, num_steps=n, omega=p.omega,

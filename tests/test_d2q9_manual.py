@@ -106,3 +106,36 @@ def test_single_band_rejected():
         d2q9_pallas_manual.stepk(
             f, mask.astype(jnp.float32), k_steps=1, accel_row=6, band=8,
             **KW)
+
+
+def test_default_band_halves_to_two_bands():
+    # 128-row grid: choose_config says band=128 (one band); the explicit
+    # pipeline must degrade to 64 rather than reject the default path
+    f, mask = make_case(128, 128)
+    f_man, _ = d2q9_pallas_manual.stepk(
+        f, mask.astype(jnp.float32), k_steps=1, accel_row=126, **KW)
+    f_auto, _ = d2q9_pallas.stepk(
+        f, mask.astype(jnp.float32), k_steps=1, accel_row=126, band=64, **KW)
+    assert np.array_equal(np.asarray(f_man), np.asarray(f_auto))
+
+
+def test_checkpoint_chunking_bit_exact(tmp_path):
+    import os
+
+    from lbm_tpu.models import lbm as lbm_model
+
+    ref = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
+    if not os.path.isdir(ref):
+        pytest.skip("no reference data")
+    p = Params.from_file(f"{ref}/params/input_128x128.params")
+    from lbm_tpu.core.params import Obstacles
+
+    obs = Obstacles.from_file(f"{ref}/params/obstacles_128x128.dat", p)
+    direct = lbm_model.run_simulation(p, obs, engine="pallas-manual",
+                                      num_steps=16)
+    chunked = lbm_model.run_simulation_with_checkpoints(
+        p, obs, engine="pallas-manual", num_steps=16, k_steps=4,
+        checkpoint_path=tmp_path / "ck.npz", checkpoint_every=8,
+    )
+    np.testing.assert_array_equal(chunked.av_vels, direct.av_vels)
+    np.testing.assert_array_equal(chunked.f_final, direct.f_final)

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from lbm_tpu.ops import d2q9, d2q9_pallas
+from lbm_tpu.ops import d2q9, d2q9_pallas, d2q9_pallas_manual
 
 CASES = list(range(8))
 
@@ -47,3 +47,13 @@ def test_random_config_parity(seed):
                                err_msg=f"ny={ny} nx={nx} band={band} k={k} "
                                        f"steps={steps} accel_row={accel_row}")
     np.testing.assert_allclose(np.asarray(tots), tots_ref, rtol=2e-4)
+
+    if ny // band >= 2:  # the manual pipeline needs two bands in flight
+        f_man, tots_man = d2q9_pallas_manual.run(
+            jnp.asarray(f), jnp.asarray(mask, np.float32), num_steps=steps,
+            omega=omega, accel_w1=w1, accel_w2=w2, accel_row=accel_row,
+            band=band, k_steps=k,
+        )
+        assert np.array_equal(np.asarray(f_man), np.asarray(f_pl)), (
+            f"manual!=auto ny={ny} nx={nx} band={band} k={k}")
+        assert np.array_equal(np.asarray(tots_man), np.asarray(tots))
