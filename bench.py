@@ -156,8 +156,44 @@ def run_pallas_subprocess(cmd=None, timeout=None):
     return None, f"no JSON line in stdout: {proc.stdout.strip()[-300:]!r}"
 
 
+PREFLIGHT_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PREFLIGHT_TIMEOUT", "600"))
+
+
+def _tunnel_preflight(timeout_s: int = PREFLIGHT_TIMEOUT_S,
+                      cmd=None) -> bool:
+    """Bounded first contact with the device, in a SUBPROCESS. The
+    remote-tunnel TPU worker can wedge (observed: a killed client's hung
+    device program blocked every later attach for hours); without a guard
+    the first jax op then hangs the whole bench unboundedly — and it hangs
+    inside a C extension call that never releases the GIL, so an in-process
+    SIGALRM cannot interrupt it (measured). On timeout, prints the headline
+    JSON with an error field and returns False."""
+    if cmd is None:
+        cmd = [sys.executable, "-c",
+               "import jax, numpy as np; "
+               "np.asarray(jax.numpy.ones((8, 128)).sum())"]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, timeout=timeout_s)
+        if proc.returncode == 0:
+            return True
+        err = (f"preflight device op failed rc={proc.returncode}: "
+               f"{(proc.stderr or b'').decode()[-300:]}")
+    except subprocess.TimeoutExpired:
+        err = (f"TPU tunnel unresponsive: first device op did not "
+               f"complete within {timeout_s}s")
+    print(json.dumps({
+        "metric": "MLUPS/chip @1024x1024 D2Q9 f32",
+        "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        "error": err,
+    }))
+    return False
+
+
 def main() -> int:
     from lbm_tpu.ops import d2q9
+
+    if not _tunnel_preflight():
+        return 1
 
     p, obs, f_start, mask, aw, accel_row, amask = _setup()
 

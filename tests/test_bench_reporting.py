@@ -56,3 +56,35 @@ def test_main_emits_secondary_metric_error_fields():
     src = inspect.getsource(bench.main)
     assert '"d3q19_error"' in src
     assert '"d2q9_4096_error"' in src
+
+
+def test_preflight_passes_on_quick_op(capsys):
+    assert bench._tunnel_preflight(
+        timeout_s=30, cmd=[sys.executable, "-c", "pass"])
+    assert capsys.readouterr().out == ""
+
+
+def test_preflight_times_out_with_headline_error_json(capsys):
+    import json
+
+    assert not bench._tunnel_preflight(
+        timeout_s=1,
+        cmd=[sys.executable, "-c", "import time; time.sleep(10)"])
+    line = capsys.readouterr().out.strip()
+    out = json.loads(line)
+    assert out["value"] == 0.0
+    assert "unresponsive" in out["error"]
+
+
+def test_preflight_reports_crash_rc(capsys):
+    import json
+
+    assert not bench._tunnel_preflight(
+        timeout_s=30, cmd=[sys.executable, "-c", "raise SystemExit(7)"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "rc=7" in out["error"]
+
+
+def test_main_runs_preflight_first():
+    src = inspect.getsource(bench.main)
+    assert "_tunnel_preflight" in src.split("_setup()")[0]
