@@ -159,6 +159,16 @@ def run_pallas_subprocess(cmd=None, timeout=None):
 PREFLIGHT_TIMEOUT_S = int(os.environ.get("LBM_BENCH_PREFLIGHT_TIMEOUT", "600"))
 
 
+def _headline_error(err: str) -> str:
+    """The one-JSON-line driver contract's failure shape, shared by the
+    preflight and the correctness gate."""
+    return json.dumps({
+        "metric": "MLUPS/chip @1024x1024 D2Q9 f32",
+        "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        "error": err,
+    })
+
+
 def _tunnel_preflight(timeout_s: int = PREFLIGHT_TIMEOUT_S,
                       cmd=None) -> bool:
     """Bounded first contact with the device, in a SUBPROCESS. The
@@ -176,16 +186,14 @@ def _tunnel_preflight(timeout_s: int = PREFLIGHT_TIMEOUT_S,
         proc = subprocess.run(cmd, capture_output=True, timeout=timeout_s)
         if proc.returncode == 0:
             return True
-        err = (f"preflight device op failed rc={proc.returncode}: "
-               f"{(proc.stderr or b'').decode()[-300:]}")
+        tail = (proc.stderr or b"").decode(errors="replace")[-300:]
+        err = f"preflight device op failed rc={proc.returncode}: {tail}"
     except subprocess.TimeoutExpired:
         err = (f"TPU tunnel unresponsive: first device op did not "
                f"complete within {timeout_s}s")
-    print(json.dumps({
-        "metric": "MLUPS/chip @1024x1024 D2Q9 f32",
-        "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
-        "error": err,
-    }))
+    except Exception as e:  # spawn failure etc.
+        err = f"preflight spawn failed: {type(e).__name__}: {e}"
+    print(_headline_error(err))
     return False
 
 
@@ -206,11 +214,8 @@ def main() -> int:
                       accel_w1=aw.w1, accel_w2=aw.w2)
     rel_max = prefix_rel_err(tot, mask)
     if rel_max > GATE_MAX_REL_ERR:
-        print(json.dumps({
-            "metric": "MLUPS/chip @1024x1024 D2Q9 f32",
-            "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
-            "error": f"correctness gate failed: max rel err {rel_max:.2e}",
-        }))
+        print(_headline_error(
+            f"correctness gate failed: max rel err {rel_max:.2e}"))
         return 1
 
     results = {}

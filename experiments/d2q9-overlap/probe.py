@@ -173,8 +173,8 @@ def build_manual(ny: int, nx: int, band: int, rounds: int,
 
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 9, band, nx), jnp.float32),
@@ -224,6 +224,8 @@ def main():
                     default=["auto", "manual"],
                     choices=["auto", "auto_par", "auto_smem", "auto_halo",
                              "auto_full", "manual"])
+    ap.add_argument("--device", default=None,
+                    help="cpu|tpu (default: best available)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "probe.csv"))
     args = ap.parse_args()
@@ -231,6 +233,8 @@ def main():
     import sys
     sys.path.insert(0, REPO)
     from lbm_tpu.utils import profiling
+    if args.device:
+        profiling.select_platform(args.device)
     profiling.enable_compilation_cache(os.path.join(REPO, ".jax_cache"))
     platform = jax.devices()[0].platform
 

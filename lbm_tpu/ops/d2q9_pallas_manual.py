@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.params import Params
 from . import d2q9
-from .d2q9_pallas import MAX_STEPS_PER_PASS, choose_config
+from .d2q9_pallas import (LARGE_GRID_VMEM_BUDGET, MAX_STEPS_PER_PASS,
+                          choose_band, choose_config)
 
 
 def default_vmem_limit(band: int, nx: int, k_steps: int) -> int:
@@ -269,9 +270,15 @@ def stepk(
     `d2q9_pallas.stepk` (same contract; no diagnostic modes)."""
     _, ny, nx = f.shape
     if band is None:
-        band = choose_config(ny, nx)[0]
-        while ny // band < 2 and band > 8 and band % 16 == 0:
-            band //= 2  # the explicit pipeline needs >= 2 bands in flight
+        # same K-keyed budget as d2q9_pallas.stepk (K>=6 amortises its halo
+        # recompute only at ~double the K=4 band width)...
+        band = choose_band(ny, nx, LARGE_GRID_VMEM_BUDGET) \
+            if k_steps >= 6 else choose_band(ny, nx)
+        if ny // band < 2:
+            # ...then the largest divisor band with >= 2 bands in flight
+            # (the explicit pipeline's epilogue drains two bands)
+            band = max((b for b in range(8, band, 8)
+                        if ny % b == 0 and ny // b >= 2), default=band)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if valid_rows is None:
