@@ -30,17 +30,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 
-from lbm_tpu.ops import d2q9_pallas
+from lbm_tpu.ops import d2q9_pallas, d2q9_pallas_manual
 from lbm_tpu.utils import profiling
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "size", "mode", "k", "band"))
-def run_mode(f, mask_f, n, size, mode, k, band):
+                   static_argnames=("n", "size", "mode", "k", "band",
+                                    "engine"))
+def run_mode(f, mask_f, n, size, mode, k, band, engine="auto"):
+    eng = d2q9_pallas_manual if engine == "manual" else d2q9_pallas
+
     def body(carry, _):
-        f2, tots = d2q9_pallas.stepk(
+        f2, tots = eng.stepk(
             carry, mask_f, k_steps=k, omega=1.85, accel_w1=0.1 * 0.005 / 9,
             accel_w2=0.1 * 0.005 / 36, accel_row=size - 2, band=band,
             mode=mode)
@@ -53,13 +56,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grids", type=int, nargs="*", default=[1024, 4096, 8192])
     ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--engine", default="auto", choices=["auto", "manual"])
     args = ap.parse_args()
 
     profiling.enable_compilation_cache(
         os.path.join(os.path.dirname(HERE), "..", ".jax_cache"))
     platform = jax.devices()[0].platform
 
-    rows = ["mode,platform,grid,band,k,iters,seconds,mlups,us_per_step"]
+    rows = ["mode,platform,grid,band,k,iters,seconds,mlups,us_per_step"
+            if args.engine == "auto" else
+            "mode,engine,platform,grid,band,k,iters,seconds,mlups,us_per_step"]
     for size in args.grids:
         iters = min(args.iters, 500) if size >= 8192 else args.iters
         # K sweep only at the flagship size (the K=1-vs-4 story); elsewhere
@@ -75,19 +81,25 @@ def main():
         for mode in ("full", "stream_only", "copy"):
             for band, k in configs:
                 n = iters - iters % k
-                np.asarray(run_mode(f, mask_f, n, size, mode, k, band)[1])
+                np.asarray(run_mode(f, mask_f, n, size, mode, k, band,
+                                    args.engine)[1])
                 t0 = time.perf_counter()
-                np.asarray(run_mode(f, mask_f, n, size, mode, k, band)[1])
+                np.asarray(run_mode(f, mask_f, n, size, mode, k, band,
+                                    args.engine)[1])
                 dt = time.perf_counter() - t0
-                rows.append(f"{mode},{platform},{size}x{size},{band},{k},{n},"
+                tag = (f"{mode}" if args.engine == "auto"
+                       else f"{mode},{args.engine}")
+                rows.append(f"{tag},{platform},{size}x{size},{band},{k},{n},"
                             f"{dt:.4f},{n * size * size / dt / 1e6:.1f},"
                             f"{dt / n * 1e6:.1f}")
                 print(rows[-1], flush=True)
         del f, mask_f
 
-    with open(os.path.join(HERE, "results.csv"), "w") as fp:
+    out_name = ("results.csv" if args.engine == "auto"
+                else f"results_{args.engine}.csv")
+    with open(os.path.join(HERE, out_name), "w") as fp:
         fp.write("\n".join(rows) + "\n")
-    print("wrote results.csv")
+    print(f"wrote {out_name}")
 
 
 if __name__ == "__main__":

@@ -53,7 +53,10 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
             f_sl, p_sl, n_sl, m_sl, mp_sl, mn_sl, o_sl,
             f_sem, p_sem, n_sem, m_sem, mp_sem, mn_sem, o_sem,
             *, band: int, k_steps: int, omega: float, accel_w1: float,
-            accel_w2: float, accel_row: int):
+            accel_w2: float, accel_row: int, mode: str = "full"):
+    # mode is DIAGNOSTIC ONLY (experiments/d2q9-breakdown methodology):
+    # 'stream_only' skips the BGK collision, 'copy' skips everything —
+    # attributes kernel time between memory movement and arithmetic.
     """All bands of K fused timesteps, explicitly double-buffered.
 
     scal_ref carries (row_offset, valid_lo, valid_hi, global_ny, col_lo,
@@ -147,6 +150,16 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
         for dma in in_dmas(slot, bi):
             dma.wait()
 
+        if mode == "copy":
+            @pl.when(bi >= 2)
+            def _():
+                out_dma(slot, bi - 2).wait()
+
+            o_sl[slot] = f_sl[slot][...]
+            tot_ref[0, 0] += jnp.sum(f_sl[slot][0, :1, :128].astype(dt))
+            out_dma(slot, bi).start()
+            return 0
+
         state = jnp.concatenate(
             [p_sl[slot][:, 8 - k:8, :], f_sl[slot], n_sl[slot][:, 0:k, :]],
             axis=1,
@@ -170,10 +183,14 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
             rows_j = (bi * band - (k - j) + row_offset) + \
                 jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
             amask_j = (jnp.mod(rows_j, global_ny) == accel_row).astype(dt)
-            state, u = d2q9.collide_fields(
-                streamed(state, n_rows), mask_j, amask_j,
-                omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
-            )
+            if mode == "stream_only":
+                state = jnp.stack(streamed(state, n_rows))
+                u = state[0]
+            else:
+                state, u = d2q9.collide_fields(
+                    streamed(state, n_rows), mask_j, amask_j,
+                    omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
+                )
             interior = u[k - j:k - j + band, :]
             tot_ref[0, j - 1] += jnp.sum(
                 jnp.where(valid_cells, interior, jnp.zeros((), dt)))
@@ -193,7 +210,7 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
-                accel_row, interpret, vmem_limit=None):
+                accel_row, interpret, vmem_limit=None, mode="full"):
     ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if ny % band or band % 8:
@@ -207,6 +224,7 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
     kernel = functools.partial(
         _kernel, band=band, k_steps=k_steps, omega=omega,
         accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
+        mode=mode,
     )
     tot_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
     return pl.pallas_call(
@@ -265,9 +283,10 @@ def stepk(
     valid_cols: tuple | None = None,
     global_ny: int | None = None,
     vmem_limit: int | None = None,
+    mode: str = "full",
 ):
     """K fused timesteps in one explicitly pipelined HBM pass. Drop-in for
-    `d2q9_pallas.stepk` (same contract; no diagnostic modes)."""
+    `d2q9_pallas.stepk` (same contract, incl. the diagnostic `mode`)."""
     _, ny, nx = f.shape
     if band is None:
         # same K-keyed budget as d2q9_pallas.stepk (K>=6 amortises its halo
@@ -288,7 +307,7 @@ def stepk(
     call = _build_step(
         (ny, nx), jnp.dtype(f.dtype).name, band, int(k_steps), float(omega),
         float(accel_w1), float(accel_w2), int(accel_row), bool(interpret),
-        None if vmem_limit is None else int(vmem_limit),
+        None if vmem_limit is None else int(vmem_limit), str(mode),
     )
     scal = jnp.stack(
         [jnp.asarray(row_offset, jnp.int32),

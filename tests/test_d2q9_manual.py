@@ -108,6 +108,20 @@ def test_single_band_rejected():
             **KW)
 
 
+@pytest.mark.parametrize("mode", ["stream_only", "copy"])
+def test_diagnostic_modes_match_auto(mode):
+    # the d2q9-breakdown attribution modes must mean the same thing on
+    # both engines (copy: out = in; stream_only: rolls without collision)
+    ny, nx, band, k = 32, 128, 8, 2
+    f, mask = make_case(ny, nx)
+    mask_f = mask.astype(jnp.float32)
+    f_auto, _ = d2q9_pallas.stepk(
+        f, mask_f, k_steps=k, accel_row=ny - 2, band=band, mode=mode, **KW)
+    f_man, _ = d2q9_pallas_manual.stepk(
+        f, mask_f, k_steps=k, accel_row=ny - 2, band=band, mode=mode, **KW)
+    assert np.array_equal(np.asarray(f_man), np.asarray(f_auto))
+
+
 def test_default_band_halves_to_two_bands():
     # 128-row grid: choose_config says band=128 (one band); the explicit
     # pipeline must degrade to 64 rather than reject the default path
