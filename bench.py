@@ -126,6 +126,37 @@ def pallas_only() -> int:
     return 0
 
 
+def manual_only() -> int:
+    """Subprocess entry: the explicitly double-buffered engine
+    (ops/d2q9_pallas_manual) at the flagship 1024^2 config, gated on its
+    own 100-step golden prefix exactly like pallas_only."""
+    from lbm_tpu.ops import d2q9_pallas_manual
+
+    p, obs, f_start, mask, aw, accel_row, amask = _setup()
+    mask_f = mask.astype(f_start.dtype)
+
+    def runner(n):
+        return d2q9_pallas_manual.run(
+            f_start, mask_f, num_steps=n, omega=p.omega,
+            accel_w1=aw.w1, accel_w2=aw.w2, accel_row=accel_row,
+            band=128, k_steps=4)
+
+    _, tots = runner(NUM_STEPS)  # compile + warm
+    rel = prefix_rel_err(tots, mask)
+    if rel > GATE_MAX_REL_ERR:
+        print(json.dumps({"error": f"manual correctness gate failed: "
+                                   f"max rel err {rel:.2e}"}))
+        return 1
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(runner(NUM_STEPS)[1])
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"seconds": best, "max_rel_err_100_steps": rel}))
+    return 0
+
+
 def run_pallas_subprocess(cmd=None, timeout=None):
     """Run the pallas-engine timing in a subprocess; returns
     (seconds | None, error | None). Failures are always surfaced — a
@@ -274,6 +305,19 @@ def main() -> int:
             D2_4096_ITERS * 4096 * 4096 / g4_secs / 1e6, 1)
     else:
         out["d2q9_4096_error"] = g4_err
+
+    # informational secondary metric: the explicitly-pipelined manual-DMA
+    # engine at the flagship config (experiments/d2q9-overlap). Runs LAST:
+    # it has not yet been validated on real hardware, so a failure here
+    # (even one that wedges the worker) cannot cost any other metric.
+    man_secs, man_err = run_pallas_subprocess(
+        cmd=[sys.executable, os.path.abspath(__file__), "--manual-only"],
+    )
+    if man_secs is not None:
+        out["d2q9_manual_mlups"] = round(
+            NUM_STEPS * p.nx * p.ny / man_secs / 1e6, 1)
+    else:
+        out["d2q9_manual_error"] = man_err
     print(json.dumps(out))
     return 0
 
@@ -360,6 +404,8 @@ def _time_runner_n(runner, n, repeats: int = 3):
 if __name__ == "__main__":
     if "--pallas-only" in sys.argv:
         sys.exit(pallas_only())
+    elif "--manual-only" in sys.argv:
+        sys.exit(manual_only())
     elif "--d3q19-only" in sys.argv:
         sys.exit(d3q19_only())
     elif "--d2q9-4096-only" in sys.argv:

@@ -56,6 +56,15 @@ def test_main_emits_secondary_metric_error_fields():
     src = inspect.getsource(bench.main)
     assert '"d3q19_error"' in src
     assert '"d2q9_4096_error"' in src
+    assert '"d2q9_manual_error"' in src
+
+
+def test_manual_metric_runs_last():
+    # the manual engine is not yet hardware-validated: a failure (even a
+    # worker wedge) must not be able to cost any other metric
+    src = inspect.getsource(bench.main)
+    assert src.index('"d2q9_manual_') > src.index('"d2q9_4096_')
+    assert src.index('"d2q9_manual_') > src.index('"d3q19_')
 
 
 def test_preflight_passes_on_quick_op(capsys):
