@@ -108,6 +108,27 @@ def test_single_band_rejected():
             **KW)
 
 
+@pytest.mark.parametrize("dtype", ["float64", "bfloat16"])
+def test_dtype_parity_with_auto(dtype):
+    # f64 is the CPU golden-verification path; bf16 is storage-only
+    # (compute in f32) — both must match the auto kernel bit-for-bit
+    import jax
+
+    ny, nx, band, k = 32, 128, 8, 2
+    with jax.enable_x64(dtype == "float64"):
+        f, mask = make_case(ny, nx)
+        f = f.astype(dtype)
+        assert f.dtype == np.dtype(dtype)
+        mask_f = mask.astype(f.dtype)
+        f_auto, tots_auto = d2q9_pallas.stepk(
+            f, mask_f, k_steps=k, accel_row=ny - 2, band=band, **KW)
+        f_man, tots_man = d2q9_pallas_manual.stepk(
+            f, mask_f, k_steps=k, accel_row=ny - 2, band=band, **KW)
+        assert f_man.dtype == f_auto.dtype == f.dtype
+        assert np.array_equal(np.asarray(f_man), np.asarray(f_auto))
+        assert np.array_equal(np.asarray(tots_man), np.asarray(tots_auto))
+
+
 @pytest.mark.parametrize("mode", ["stream_only", "copy"])
 def test_diagnostic_modes_match_auto(mode):
     # the d2q9-breakdown attribution modes must mean the same thing on
