@@ -100,6 +100,29 @@ def test_simulate_reference_semantics():
                                rtol=1e-4)
 
 
+def test_golden_prefix_f32():
+    # the reference-data gate the TPU bench applies, on the CPU interpret
+    # path: 100-step av_vels prefix vs golden within the f32 floor
+    import dataclasses
+    import os
+
+    ref = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
+    if not os.path.isdir(ref):
+        pytest.skip("no reference data")
+    from lbm_tpu.core.params import Obstacles
+
+    p = Params.from_file(f"{ref}/params/input_128x128.params")
+    p = dataclasses.replace(p, max_iters=100)
+    obs = Obstacles.from_file(f"{ref}/params/obstacles_128x128.dat", p)
+    f0 = state.initial_distributions(p, np.float32)
+    _, av = d2q9_pallas_manual.simulate(p, f0, jnp.asarray(obs.mask),
+                                        k_steps=4)
+    golden = np.loadtxt(f"{ref}/check/128x128.av_vels.dat", usecols=1,
+                        max_rows=100)
+    rel = np.abs(np.asarray(av, np.float64) - golden) / golden
+    assert rel.max() < 1e-3, f"max rel err {rel.max():.3e}"
+
+
 def test_single_band_rejected():
     f, mask = make_case(8, 128)
     with pytest.raises(ValueError, match=">= 2 bands"):
