@@ -214,8 +214,43 @@ def check_correct(ny, nx, band, interpret=False):
     assert np.array_equal(a, m), float(np.abs(a - m).max())
 
 
+def analyze(path):
+    """Overlap fractions from a probe CSV: for each engine, copy = wall(0);
+    compute(R) = wall_serial(R) - copy estimated from the wall(R) slope of
+    the SERIAL hypothesis is unknowable, so report the direct bound:
+    overlap_frac(R) = (copy + compute_R - wall_R) / min(copy, compute_R)
+    with compute_R = wall_R_serialbase - copy taken from the AUTO engine
+    (assumed fully serialized per d2q9-breakdown). 0 = serialized,
+    1 = perfect overlap."""
+    import csv
+    from collections import defaultdict
+
+    rows = defaultdict(dict)
+    with open(path) as fh:
+        for row in csv.DictReader(fh):
+            rows[row["engine"]][int(row["rounds"])] = float(row["us_per_iter"])
+    if "auto" not in rows or 0 not in rows.get("auto", {}):
+        print("need auto R=0 rows as the serial baseline")
+        return
+    auto = rows["auto"]
+    copy_us = auto[0]
+    for eng, vals in sorted(rows.items()):
+        for r in sorted(vals):
+            if r == 0:
+                print(f"{eng:10s} R={r:<3d} wall={vals[r]:8.1f}us "
+                      f"(copy floor {vals[r] / copy_us:.2f}x auto)")
+                continue
+            compute = auto.get(r, float("nan")) - copy_us  # serial auto
+            denom = min(copy_us, compute)
+            frac = (copy_us + compute - vals[r]) / denom if denom > 0 else 0
+            print(f"{eng:10s} R={r:<3d} wall={vals[r]:8.1f}us "
+                  f"compute~{compute:7.1f}us overlap_frac={frac:+.2f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--analyze", metavar="CSV", default=None,
+                    help="summarise an existing probe CSV and exit")
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--band", type=int, default=64)
     ap.add_argument("--iters", type=int, default=200)
@@ -229,6 +264,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "probe.csv"))
     args = ap.parse_args()
+    if args.analyze:
+        analyze(args.analyze)
+        return
 
     import sys
     sys.path.insert(0, REPO)
@@ -239,8 +277,11 @@ def main():
     platform = jax.devices()[0].platform
 
     ny = nx = args.size
-    check_correct(256, 256, 64)
-    print("correctness: manual == auto (bit-exact)")
+    if "manual" in args.engines:
+        # small-scale canary BEFORE any full-size manual run: correctness
+        # and (on hardware) that the explicit-DMA kernel terminates at all
+        check_correct(256, 256, 64)
+        print("correctness: manual == auto (bit-exact)")
 
     engines = {
         "auto": build_auto,
@@ -266,8 +307,11 @@ def main():
                               "us_per_iter": round(dt * 1e6, 1),
                               "rw_gbps": round(gbps, 1)}))
 
-    with open(args.out, "w") as fh:
-        fh.write("engine,platform,grid,band,rounds,iters,us_per_iter,rw_gbps\n")
+    exists = os.path.exists(args.out)
+    with open(args.out, "a") as fh:
+        if not exists:
+            fh.write("engine,platform,grid,band,rounds,iters,"
+                     "us_per_iter,rw_gbps\n")
         for row in rows:
             fh.write(",".join(str(x) for x in row) + "\n")
     print(f"wrote {args.out}")
