@@ -307,9 +307,10 @@ def main() -> int:
         out["d2q9_4096_error"] = g4_err
 
     # informational secondary metric: the explicitly-pipelined manual-DMA
-    # engine at the flagship config (experiments/d2q9-overlap). Runs LAST:
-    # it has not yet been validated on real hardware, so a failure here
-    # (even one that wedges the worker) cannot cost any other metric.
+    # engine at the flagship config (experiments/d2q9-overlap; hardware-
+    # validated round 3: 11,481 MLUPS @1024^2, and the measured-best
+    # engine on non-resident grids). Still runs LAST so a failure cannot
+    # cost any other metric.
     man_secs, man_err = run_pallas_subprocess(
         cmd=[sys.executable, os.path.abspath(__file__), "--manual-only"],
     )
@@ -327,14 +328,16 @@ D2_4096_ITERS = 2000
 
 def d2q9_4096_only() -> int:
     """Subprocess entry: print seconds for the 4096^2 choose_config
-    (K=8) kernel, gated against the pure-JAX engine on-device. There is
-    no golden data at 4096^2, so the gate is engine parity over a
-    100-step prefix of the per-step Sum|u| series — a Mosaic miscompile
-    of the K=8 unroll must fail HERE, on real TPU output, not just in
-    the CPU interpret-mode tests."""
+    (K=8) kernel via choose_engine (the manual explicit-DMA pipeline:
+    +4.9% over the automatic pipeline on non-resident grids,
+    experiments/d2q9-overlap/results.csv), gated against the pure-JAX
+    engine on-device. There is no golden data at 4096^2, so the gate is
+    engine parity over a 100-step prefix of the per-step Sum|u| series —
+    a Mosaic miscompile of the K=8 unroll must fail HERE, on real TPU
+    output, not just in the CPU interpret-mode tests."""
     import jax.numpy as jnp
 
-    from lbm_tpu.ops import d2q9, d2q9_pallas
+    from lbm_tpu.ops import d2q9, d2q9_pallas, d2q9_pallas_manual
     from lbm_tpu.utils import profiling
 
     profiling.enable_compilation_cache(CACHE_DIR)
@@ -344,9 +347,12 @@ def d2q9_4096_only() -> int:
     mask_f = mask_b.astype(f.dtype)
     w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
     band, k = d2q9_pallas.choose_config(n, n)
+    engine_run = (d2q9_pallas_manual.run
+                  if d2q9_pallas.choose_engine(n, n) == "pallas-manual"
+                  else d2q9_pallas.run)
 
     def runner(m):
-        return d2q9_pallas.run(
+        return engine_run(
             f, mask_f, num_steps=m, omega=1.85, accel_w1=w1, accel_w2=w2,
             accel_row=n - 2, band=band, k_steps=k)
 

@@ -73,9 +73,12 @@ def build_auto(ny: int, nx: int, band: int, rounds: int,
         tot_ref = refs.pop(0) if "smem" in features else None
         x = _work(f_ref[:], rounds)
         if prev_ref is not None:
-            # touch the halo blocks so their DMAs are live
-            x = x.at[:, 0:1, :].add(prev_ref[:, 7:8, :])
-            x = x.at[:, -1:, :].add(next_ref[:, 0:1, :])
+            # touch the halo blocks so their DMAs are live (slice+concat:
+            # Mosaic has no scatter-add lowering for .at[].add())
+            x = jnp.concatenate(
+                [x[:, 0:1, :] + prev_ref[:, 7:8, :],
+                 x[:, 1:-1, :],
+                 x[:, -1:, :] + next_ref[:, 0:1, :]], axis=1)
         out_ref[:] = x
         if tot_ref is not None:
             @pl.when(pl.program_id(0) == 0)
@@ -295,25 +298,24 @@ def main():
                                        features=frozenset({"smem", "halo"})),
         "manual": build_manual,
     }
-    rows = []
-    for eng in args.engines:
-        build = engines[eng]
-        for r in args.rounds:
-            dt = time_engine(build, ny, nx, args.band, r, args.iters)
-            gbps = 2 * 9 * ny * nx * 4 / dt / 1e9
-            rows.append((eng, platform, f"{ny}x{nx}", args.band, r,
-                         args.iters, round(dt * 1e6, 1), round(gbps, 1)))
-            print(json.dumps({"engine": eng, "rounds": r,
-                              "us_per_iter": round(dt * 1e6, 1),
-                              "rw_gbps": round(gbps, 1)}))
-
     exists = os.path.exists(args.out)
     with open(args.out, "a") as fh:
         if not exists:
             fh.write("engine,platform,grid,band,rounds,iters,"
                      "us_per_iter,rw_gbps\n")
-        for row in rows:
-            fh.write(",".join(str(x) for x in row) + "\n")
+        for eng in args.engines:
+            build = engines[eng]
+            for r in args.rounds:
+                dt = time_engine(build, ny, nx, args.band, r, args.iters)
+                gbps = 2 * 9 * ny * nx * 4 / dt / 1e9
+                row = (eng, platform, f"{ny}x{nx}", args.band, r,
+                       args.iters, round(dt * 1e6, 1), round(gbps, 1))
+                print(json.dumps({"engine": eng, "rounds": r,
+                                  "us_per_iter": round(dt * 1e6, 1),
+                                  "rw_gbps": round(gbps, 1)}))
+                # append immediately: a crash mid-sweep must not lose rows
+                fh.write(",".join(str(x) for x in row) + "\n")
+                fh.flush()
     print(f"wrote {args.out}")
 
 

@@ -51,7 +51,10 @@ def main():
     kw = dict(omega=1.85, accel_w1=0.1 * 0.005 / 9, accel_w2=0.1 * 0.005 / 36)
 
     header = "engine,platform,grid,band,k,iters,seconds,mlups,us_per_step"
-    rows = []
+    exists = os.path.exists(args.out)
+    out_fh = open(args.out, "a")
+    if not exists:
+        out_fh.write(header + "\n")
     for size in args.sizes:
         band, k = d2q9_pallas.choose_config(size, size)
         iters = args.iters - args.iters % k
@@ -74,18 +77,14 @@ def main():
             us = best / iters * 1e6
             row = (eng, platform, f"{size}x{size}", band, k, iters,
                    round(best, 4), round(mlups, 1), round(us, 1))
-            rows.append(row)
             print(json.dumps({"engine": eng, "grid": f"{size}x{size}",
                               "band": band, "k": k,
                               "mlups": round(mlups, 1),
                               "us_per_step": round(us, 1)}), flush=True)
-
-    exists = os.path.exists(args.out)
-    with open(args.out, "a") as fh:
-        if not exists:
-            fh.write(header + "\n")
-        for row in rows:
-            fh.write(",".join(str(x) for x in row) + "\n")
+            # append immediately: a crash mid-sweep must not lose rows
+            out_fh.write(",".join(str(x) for x in row) + "\n")
+            out_fh.flush()
+    out_fh.close()
     print(f"wrote {args.out}")
 
 

@@ -3,7 +3,7 @@
 Usage:
     python -m lbm_tpu.cli.lbm --params params/input_128x128.params \
         --obstacles params/obstacles_128x128.dat
-        [--engine jax|pallas|pallas-manual|sharded|sharded-pallas|native]
+        [--engine jax|pallas|pallas-manual|auto|sharded|sharded-pallas|native]
         [--dtype float32|float64|bfloat16] [--device cpu|tpu] [--out-dir .]
         [--num-devices N --strategy implicit|ppermute|allgather]
         [--compile-only] [--trace-dir DIR] [--cache-dir DIR]
@@ -28,13 +28,15 @@ def main(argv=None) -> int:
                              "--compile-only: the exported step takes the "
                              "obstacle mask as a runtime argument)")
     parser.add_argument("--engine", default="jax",
-                        choices=["jax", "pallas", "pallas-manual", "sharded",
-                                 "sharded-pallas", "native"],
+                        choices=["jax", "pallas", "pallas-manual", "auto",
+                                 "sharded", "sharded-pallas", "native"],
                         help="compute path; 'native' is the serial C++ host "
                              "engine (the reference's lbm_cpu/compareLbm "
                              "analogue — no JAX, builds native/ on first "
                              "use); 'pallas-manual' is the explicitly "
-                             "double-buffered pallas generation")
+                             "double-buffered pallas generation; 'auto' "
+                             "picks the measured-best pallas generation "
+                             "for the grid (d2q9_pallas.choose_engine)")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64", "bfloat16"])
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],

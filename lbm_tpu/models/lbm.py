@@ -48,8 +48,16 @@ def run_simulation(
     engine, native/d2q9_serial.cpp — the reference's lbm_cpu/compareLbm
     analogue; no JAX, no compile). Keeping two pallas generations mirrors
     the reference's codelet-generation family (D2Q9Codelets vs
-    D2Q9CodeletsOld)."""
+    D2Q9CodeletsOld). 'auto' resolves to the measured-best single-chip
+    pallas generation for this grid (d2q9_pallas.choose_engine: automatic
+    pipeline on VMEM-resident grids, explicit-DMA manual pipeline on
+    larger ones)."""
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
+
+    if engine == "auto":
+        from ..ops import d2q9_pallas
+
+        engine = d2q9_pallas.choose_engine(p.ny, p.nx)
 
     if engine == "native":
         from ..ops import d2q9_native
@@ -138,6 +146,10 @@ def run_simulation_with_checkpoints(
     from ..ops import d2q9
 
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
+    if engine == "auto":
+        from ..ops import d2q9_pallas
+
+        engine = d2q9_pallas.choose_engine(p.ny, p.nx)
     total = p.max_iters
     pallas_like = engine in ("pallas", "pallas-manual", "sharded-pallas")
     auto_k = k_steps is None

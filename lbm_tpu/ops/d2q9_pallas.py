@@ -436,3 +436,18 @@ def choose_config(h: int, w: int) -> tuple[int, int]:
     if band_k8 >= MIN_K8_BAND:
         return band_k8, 8
     return choose_band(h, w), 4
+
+
+def choose_engine(h: int, w: int) -> str:
+    """'pallas' (automatic Mosaic pipeline) or 'pallas-manual' (explicit
+    double-buffered DMA, ops/d2q9_pallas_manual.py) — the measured best
+    single-chip engine for this grid.
+
+    Resident grids ride XLA's VMEM state promotion, which the manual
+    engine's unconditional HBM round-trips forfeit: 1024^2 measured
+    11,575 (auto) vs 11,481 (manual). Non-resident grids are at the HBM
+    band-streaming floor where the manual pipeline hides ~0.3-1.4 ms of
+    copy per superstep behind the BGK math that Mosaic's automatic
+    pipeline leaves exposed: 2048^2 +2.2%, 4096^2 +4.9% (12,172 vs
+    11,606), 8192^2 +4.5% (experiments/d2q9-overlap/results.csv, v5e)."""
+    return "pallas" if h * w <= RESIDENT_STATE_CELLS else "pallas-manual"

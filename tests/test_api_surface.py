@@ -25,8 +25,8 @@ API = {
         "equilibrium", "accel_row_mask", "step", "first_accelerate",
         "run", "simulate"],
     "lbm_tpu.ops.d2q9_pallas": [
-        "choose_band", "choose_config", "default_vmem_limit", "stepk",
-        "step", "run", "simulate"],
+        "choose_band", "choose_config", "choose_engine",
+        "default_vmem_limit", "stepk", "step", "run", "simulate"],
     "lbm_tpu.ops.d2q9_native": ["available", "run", "simulate"],
     "lbm_tpu.ops.d3q19": [
         "equilibrium", "stream_pull", "collide_fields", "step",
