@@ -306,17 +306,27 @@ def main() -> int:
     else:
         out["d2q9_4096_error"] = g4_err
 
-    # informational secondary metric: the explicitly-pipelined manual-DMA
-    # engine at the flagship config (experiments/d2q9-overlap; hardware-
-    # validated round 3: 11,481 MLUPS @1024^2, and the measured-best
-    # engine on non-resident grids). Still runs LAST so a failure cannot
-    # cost any other metric.
+    # the explicitly-pipelined manual-DMA engine at the flagship config
+    # (experiments/d2q9-overlap; hardware-validated round 3 and within
+    # tunnel variance of the auto pipeline at 1024^2 — 11.5-12.0k across
+    # runs). Still runs LAST so a failure cannot cost any other metric,
+    # but on success it joins the headline candidate set (it passes the
+    # same 100-step golden-prefix gate in its subprocess).
     man_secs, man_err = run_pallas_subprocess(
         cmd=[sys.executable, os.path.abspath(__file__), "--manual-only"],
     )
     if man_secs is not None:
         out["d2q9_manual_mlups"] = round(
             NUM_STEPS * p.nx * p.ny / man_secs / 1e6, 1)
+        results["pallas_manual_k4"] = man_secs
+        best_name = min(results, key=results.get)
+        if best_name != out["engine"]:
+            mlups = NUM_STEPS * p.nx * p.ny / results[best_name] / 1e6
+            out["value"] = round(mlups, 1)
+            out["vs_baseline"] = round(mlups / BASELINE_MLUPS, 3)
+            out["engine"] = best_name
+        out["all_engines_seconds"] = {
+            k: round(v, 4) for k, v in results.items()}
     else:
         out["d2q9_manual_error"] = man_err
     print(json.dumps(out))

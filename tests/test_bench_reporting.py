@@ -60,11 +60,22 @@ def test_main_emits_secondary_metric_error_fields():
 
 
 def test_manual_metric_runs_last():
-    # the manual engine is not yet hardware-validated: a failure (even a
-    # worker wedge) must not be able to cost any other metric
+    # the manual engine runs last so a failure (even a worker wedge)
+    # cannot cost any other metric; only on success does it join the
+    # headline candidate set
     src = inspect.getsource(bench.main)
     assert src.index('"d2q9_manual_') > src.index('"d2q9_4096_')
     assert src.index('"d2q9_manual_') > src.index('"d3q19_')
+
+
+def test_manual_success_joins_headline_candidates():
+    # a clean manual run must be able to claim the headline (it passes
+    # the same golden-prefix gate), and the recomputed value must stay
+    # consistent with the winning engine's seconds
+    src = inspect.getsource(bench.main)
+    assert 'results["pallas_manual_k4"]' in src
+    assert src.index('results["pallas_manual_k4"]') > \
+        src.index('"d2q9_manual_mlups"')
 
 
 def test_preflight_passes_on_quick_op(capsys):
