@@ -190,6 +190,346 @@ def build_manual(ny: int, nx: int, band: int, rounds: int,
     )
 
 
+@functools.lru_cache(maxsize=32)
+def build_manual_depth(ny: int, nx: int, band: int, rounds: int,
+                       depth: int = 2, interpret: bool = False):
+    """Depth-D ring-buffered variant of build_manual: keep up to D-1 input
+    DMAs in flight (plus the drain of up to D output DMAs). Probes whether
+    the ~320 GB/s band floor is an outstanding-transaction limit — a plain
+    fused XLA pass over the same array measures ~512 GB/s combined, so the
+    2-slot pipeline is NOT at the HBM ceiling."""
+    nb = ny // band
+    if nb < depth:
+        raise ValueError("need >= depth bands")
+
+    def kernel(f_hbm, out_hbm, in_sl, out_sl, in_sem, out_sem):
+        def in_dma(slot, bi):
+            return pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(bi * band, band), :],
+                in_sl.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                out_sl.at[slot],
+                out_hbm.at[:, pl.ds(bi * band, band), :],
+                out_sem.at[slot])
+
+        for j in range(depth - 1):  # prologue: D-1 fetches in flight
+            in_dma(j, j).start()
+
+        def body(bi, _):
+            slot = jax.lax.rem(bi, depth)
+            ahead = bi + depth - 1
+
+            @pl.when(ahead < nb)
+            def _():
+                in_dma(jax.lax.rem(ahead, depth), ahead).start()
+
+            in_dma(slot, bi).wait()
+            res = _work(in_sl[slot], rounds)
+
+            @pl.when(bi >= depth)
+            def _():
+                out_dma(slot, bi - depth).wait()
+
+            out_sl[slot] = res
+            out_dma(slot, bi).start()
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+        for j in range(depth):  # epilogue: drain the last D writes
+            bi = nb - depth + j
+            out_dma(bi % depth, bi).wait()
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((depth, 9, band, nx), jnp.float32),
+            pltpu.VMEM((depth, 9, band, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def build_manual_flat(ny: int, nx: int, band: int, rounds: int,
+                      interpret: bool = False, depth: int = 2):
+    """Same bytes, contiguous descriptors: view the state as (9*ny, nx)
+    and copy 9*band contiguous rows per DMA (one chunk) instead of the
+    production band slice's 9 strided chunks. Distinguishes
+    descriptor-chunking cost from a fundamental VMEM-staging cost.
+    Elementwise work commutes with the reshape, so outputs stay
+    bit-identical to the auto kernel."""
+    rows = 9 * ny
+    brows = 9 * band
+    nb = ny // band
+    if nb < depth:
+        raise ValueError("need >= depth bands")
+
+    def kernel(f_hbm, out_hbm, in_sl, out_sl, in_sem, out_sem):
+        def in_dma(slot, bi):
+            return pltpu.make_async_copy(
+                f_hbm.at[pl.ds(bi * brows, brows), :],
+                in_sl.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                out_sl.at[slot],
+                out_hbm.at[pl.ds(bi * brows, brows), :],
+                out_sem.at[slot])
+
+        for j in range(depth - 1):
+            in_dma(j, j).start()
+
+        def body(bi, _):
+            slot = jax.lax.rem(bi, depth)
+            ahead = bi + depth - 1
+
+            @pl.when(ahead < nb)
+            def _():
+                in_dma(jax.lax.rem(ahead, depth), ahead).start()
+
+            in_dma(slot, bi).wait()
+            res = _work(in_sl[slot], rounds)
+
+            @pl.when(bi >= depth)
+            def _():
+                out_dma(slot, bi - depth).wait()
+
+            out_sl[slot] = res
+            out_dma(slot, bi).start()
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+        for j in range(depth):
+            bi = nb - depth + j
+            out_dma(bi % depth, bi).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((rows, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((depth, brows, nx), jnp.float32),
+            pltpu.VMEM((depth, brows, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+    def wrapped(f):
+        return call(f.reshape(rows, nx)).reshape(9, ny, nx)
+    return wrapped
+
+
+@functools.lru_cache(maxsize=32)
+def build_auto_flat(ny: int, nx: int, band: int, rounds: int,
+                    interpret: bool = False):
+    """Automatic pipeline over the flat (9*ny, nx) view — contiguous
+    (9*band, nx) blocks, one chunk per DMA."""
+    rows, brows = 9 * ny, 9 * band
+
+    def kernel(f_ref, out_ref):
+        out_ref[:] = _work(f_ref[:], rounds)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ny // band,),
+        in_specs=[pl.BlockSpec((brows, nx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((brows, nx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, nx), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+    def wrapped(f):
+        return call(f.reshape(rows, nx)).reshape(9, ny, nx)
+    return wrapped
+
+
+@functools.lru_cache(maxsize=32)
+def build_manual_alias(ny: int, nx: int, band: int, rounds: int,
+                       interpret: bool = False):
+    """build_manual with the output aliased onto the input buffer
+    (input_output_aliases): reads and writes land on the same HBM pages,
+    the way XLA's donated-carry fused loop does. Tests whether the
+    two-stream (separate in/out arrays) pattern is what caps the Pallas
+    path at ~320 GB/s while XLA's in-place loop measures ~625."""
+    nb = ny // band
+    if nb < 2:
+        raise ValueError("manual pipeline needs >= 2 bands")
+
+    def kernel(f_hbm, out_hbm, in_sl, out_sl, in_sem, out_sem):
+        def in_dma(slot, bi):
+            return pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(bi * band, band), :],
+                in_sl.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                out_sl.at[slot],
+                out_hbm.at[:, pl.ds(bi * band, band), :],
+                out_sem.at[slot])
+
+        in_dma(0, 0).start()
+
+        def body(bi, _):
+            slot = jax.lax.rem(bi, 2)
+            nxt = jax.lax.rem(bi + 1, 2)
+
+            @pl.when(bi + 1 < nb)
+            def _():
+                in_dma(nxt, bi + 1).start()
+
+            in_dma(slot, bi).wait()
+            res = _work(in_sl[slot], rounds)
+
+            @pl.when(bi >= 2)
+            def _():
+                out_dma(slot, bi - 2).wait()
+
+            out_sl[slot] = res
+            out_dma(slot, bi).start()
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+        out_dma((nb - 2) % 2, nb - 2).wait()
+        out_dma((nb - 1) % 2, nb - 1).wait()
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, band, nx), jnp.float32),
+            pltpu.VMEM((2, 9, band, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def build_auto_alias(ny: int, nx: int, band: int, rounds: int,
+                     interpret: bool = False):
+    """Plain automatic-pipeline kernel with the output aliased onto the
+    input buffer."""
+    def kernel(f_ref, out_ref):
+        out_ref[:] = _work(f_ref[:], rounds)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ny // band,),
+        in_specs=[pl.BlockSpec((9, band, nx), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((9, band, nx), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def build_manual_alias_safe(ny: int, nx: int, band: int, rounds: int,
+                            interpret: bool = False):
+    """In-place (aliased) manual pipeline with the write-after-read
+    ordering an LBM stencil needs: band bi's in-place write starts only
+    AFTER band bi+1's fetch has completed (band bi+1's top halo reads
+    band bi's write region). Measures whether the delayed write-back
+    costs any of the aliasing win."""
+    nb = ny // band
+    if nb < 3:
+        raise ValueError("need >= 3 bands")
+
+    def kernel(f_hbm, out_hbm, in_sl, out_sl, in_sem, out_sem):
+        def in_dma(slot, bi):
+            return pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(bi * band, band), :],
+                in_sl.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                out_sl.at[slot],
+                out_hbm.at[:, pl.ds(bi * band, band), :],
+                out_sem.at[slot])
+
+        in_dma(0, 0).start()
+
+        def body(bi, _):
+            slot = jax.lax.rem(bi, 2)
+            nxt = jax.lax.rem(bi + 1, 2)
+
+            @pl.when(bi + 1 < nb)
+            def _():
+                in_dma(nxt, bi + 1).start()
+
+            # in(bi) done => every reader of band bi-1's write region has
+            # its data => safe to flush band bi-1 in place
+            in_dma(slot, bi).wait()
+
+            @pl.when(bi >= 1)
+            def _():
+                out_dma(nxt, bi - 1).start()
+
+            @pl.when(bi >= 2)
+            def _():
+                out_dma(slot, bi - 2).wait()
+
+            res = _work(in_sl[slot], rounds)
+            out_sl[slot] = res
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+        out_dma((nb - 1) % 2, nb - 1).start()
+        out_dma((nb - 2) % 2, nb - 2).wait()
+        out_dma((nb - 1) % 2, nb - 1).wait()
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((9, ny, nx), jnp.float32),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, band, nx), jnp.float32),
+            pltpu.VMEM((2, 9, band, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+def build_xla(ny: int, nx: int, band: int, rounds: int,
+              interpret: bool = False):
+    """Non-Pallas baseline: one fused XLA elementwise pass over the same
+    (9, ny, nx) array — the compiler's own streaming loop, measuring what
+    HBM read+write rate XLA achieves without any explicit staging. R=0
+    still runs ONE fma round (a literal identity would fold away); the
+    fma is issue-free relative to the bandwidth cost."""
+    def call(f):
+        return _work(f, max(rounds, 1))
+    return call
+
+
 def time_engine(build, ny, nx, band, rounds, iters, repeats=3):
     call = build(ny, nx, band, rounds)
 
@@ -261,7 +601,10 @@ def main():
     ap.add_argument("--engines", nargs="*",
                     default=["auto", "manual"],
                     choices=["auto", "auto_par", "auto_smem", "auto_halo",
-                             "auto_full", "manual"])
+                             "auto_full", "manual", "manual3", "manual4",
+                             "manual6", "manual_flat", "auto_flat",
+                             "manual_alias", "manual_alias_safe",
+                             "auto_alias", "xla"])
     ap.add_argument("--device", default=None,
                     help="cpu|tpu (default: best available)")
     ap.add_argument("--out", default=os.path.join(
@@ -280,11 +623,27 @@ def main():
     platform = jax.devices()[0].platform
 
     ny = nx = args.size
-    if "manual" in args.engines:
+    if any(e.startswith("manual") for e in args.engines):
         # small-scale canary BEFORE any full-size manual run: correctness
         # and (on hardware) that the explicit-DMA kernel terminates at all
         check_correct(256, 256, 64)
         print("correctness: manual == auto (bit-exact)")
+    for eng in args.engines:
+        if eng.startswith("manual") and eng[len("manual"):].isdigit():
+            d = int(eng[len("manual"):])
+            fr = jnp.asarray(
+                np.random.default_rng(0).random((9, 256, 256), np.float32))
+            a = np.asarray(build_auto(256, 256, 32, 2)(fr))
+            m = np.asarray(build_manual_depth(256, 256, 32, 2, depth=d)(fr))
+            assert np.array_equal(a, m), (eng, float(np.abs(a - m).max()))
+            print(f"correctness: {eng} == auto (bit-exact)")
+        elif eng == "manual_flat":
+            fr = jnp.asarray(
+                np.random.default_rng(0).random((9, 256, 256), np.float32))
+            a = np.asarray(build_auto(256, 256, 32, 2)(fr))
+            m = np.asarray(build_manual_flat(256, 256, 32, 2)(fr))
+            assert np.array_equal(a, m), float(np.abs(a - m).max())
+            print("correctness: manual_flat == auto (bit-exact)")
 
     engines = {
         "auto": build_auto,
@@ -297,6 +656,15 @@ def main():
         "auto_full": functools.partial(build_auto,
                                        features=frozenset({"smem", "halo"})),
         "manual": build_manual,
+        "manual_flat": build_manual_flat,
+        "manual_alias": build_manual_alias,
+        "manual_alias_safe": build_manual_alias_safe,
+        "auto_alias": build_auto_alias,
+        "auto_flat": build_auto_flat,
+        "manual3": functools.partial(build_manual_depth, depth=3),
+        "manual4": functools.partial(build_manual_depth, depth=4),
+        "manual6": functools.partial(build_manual_depth, depth=6),
+        "xla": build_xla,
     }
     exists = os.path.exists(args.out)
     with open(args.out, "a") as fh:

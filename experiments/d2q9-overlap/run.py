@@ -45,9 +45,14 @@ def main():
     profiling.enable_compilation_cache(os.path.join(REPO, ".jax_cache"))
     platform = jax.devices()[0].platform
 
-    from lbm_tpu.ops import d2q9_pallas, d2q9_pallas_manual
+    from lbm_tpu.ops import d2q9_pallas, d2q9_pallas_inplace, d2q9_pallas_manual
 
-    engines = {"auto": d2q9_pallas.run, "manual": d2q9_pallas_manual.run}
+    engines = {"auto": d2q9_pallas.run, "manual": d2q9_pallas_manual.run,
+               "inplace": d2q9_pallas_inplace.run}
+    # per-engine measured config tables (the in-place optimum is shallower)
+    configs = {"auto": d2q9_pallas.choose_config,
+               "manual": d2q9_pallas.choose_config,
+               "inplace": d2q9_pallas_inplace.choose_config}
     kw = dict(omega=1.85, accel_w1=0.1 * 0.005 / 9, accel_w2=0.1 * 0.005 / 36)
 
     header = "engine,platform,grid,band,k,iters,seconds,mlups,us_per_step"
@@ -56,13 +61,13 @@ def main():
     if not exists:
         out_fh.write(header + "\n")
     for size in args.sizes:
-        band, k = d2q9_pallas.choose_config(size, size)
-        iters = args.iters - args.iters % k
         f = jnp.full((9, size, size), 0.11, jnp.float32)
         # equilibrium-ish uniform state: stable over thousands of steps
         mask_f = jnp.zeros((size, size), jnp.float32).at[0, :].set(1.0)
         for eng in args.engines:
             run = engines[eng]
+            band, k = configs[eng](size, size)
+            iters = args.iters - args.iters % k
             def go():
                 _, tots = run(f, mask_f, num_steps=iters, k_steps=k,
                               accel_row=size - 2, band=band, **kw)

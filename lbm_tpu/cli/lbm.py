@@ -3,7 +3,7 @@
 Usage:
     python -m lbm_tpu.cli.lbm --params params/input_128x128.params \
         --obstacles params/obstacles_128x128.dat
-        [--engine jax|pallas|pallas-manual|auto|sharded|sharded-pallas|native]
+        [--engine jax|pallas|pallas-manual|pallas-inplace|auto|sharded|sharded-pallas|native]
         [--dtype float32|float64|bfloat16] [--device cpu|tpu] [--out-dir .]
         [--num-devices N --strategy implicit|ppermute|allgather]
         [--compile-only] [--trace-dir DIR] [--cache-dir DIR]
@@ -28,8 +28,9 @@ def main(argv=None) -> int:
                              "--compile-only: the exported step takes the "
                              "obstacle mask as a runtime argument)")
     parser.add_argument("--engine", default="jax",
-                        choices=["jax", "pallas", "pallas-manual", "auto",
-                                 "sharded", "sharded-pallas", "native"],
+                        choices=["jax", "pallas", "pallas-manual",
+                                 "pallas-inplace", "auto", "sharded",
+                                 "sharded-pallas", "native"],
                         help="compute path; 'native' is the serial C++ host "
                              "engine (the reference's lbm_cpu/compareLbm "
                              "analogue — no JAX, builds native/ on first "

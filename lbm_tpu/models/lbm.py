@@ -44,14 +44,15 @@ def run_simulation(
     """Run the full simulation. `engine` selects the compute path:
     'jax' (pure-JAX fused step), 'pallas' (hand-fused TPU kernel),
     'pallas-manual' (same kernel with an explicitly double-buffered DMA
-    pipeline, ops/d2q9_pallas_manual.py) or 'native' (serial C++ host
+    pipeline, ops/d2q9_pallas_manual.py), 'pallas-inplace' (the manual
+    pipeline writing back into the input lattice — one HBM stream instead
+    of two, the measured-best engine, ops/d2q9_pallas_inplace.py) or
+    'native' (serial C++ host
     engine, native/d2q9_serial.cpp — the reference's lbm_cpu/compareLbm
     analogue; no JAX, no compile). Keeping two pallas generations mirrors
     the reference's codelet-generation family (D2Q9Codelets vs
     D2Q9CodeletsOld). 'auto' resolves to the measured-best single-chip
-    pallas generation for this grid (d2q9_pallas.choose_engine: automatic
-    pipeline on VMEM-resident grids, explicit-DMA manual pipeline on
-    larger ones)."""
+    pallas generation for this grid (d2q9_pallas.choose_engine)."""
     p = params if num_steps is None else dataclasses.replace(params, max_iters=num_steps)
 
     if engine == "auto":
@@ -87,6 +88,10 @@ def run_simulation(
         from ..ops import d2q9_pallas_manual
 
         simulate = d2q9_pallas_manual.simulate
+    elif engine == "pallas-inplace":
+        from ..ops import d2q9_pallas_inplace
+
+        simulate = d2q9_pallas_inplace.simulate
     else:
         raise ValueError(f"unknown engine {engine!r}")
 
@@ -151,7 +156,8 @@ def run_simulation_with_checkpoints(
 
         engine = d2q9_pallas.choose_engine(p.ny, p.nx)
     total = p.max_iters
-    pallas_like = engine in ("pallas", "pallas-manual", "sharded-pallas")
+    pallas_like = engine in ("pallas", "pallas-manual", "pallas-inplace",
+                             "sharded-pallas")
     auto_k = k_steps is None
 
     aw = d2q9.AccelWeights.from_params(p)
@@ -179,10 +185,16 @@ def run_simulation_with_checkpoints(
             # fresh run: prefer the measured (band, K) optimum for the
             # grid (K=8 beyond the VMEM-resident sizes), falling back to
             # the deepest dividing K
-            from ..ops import d2q9_pallas
+            if engine == "pallas-inplace":
+                from ..ops import d2q9_pallas_inplace
 
-            preferred = (d2q9_pallas.choose_config(p.ny, p.nx)[1]
-                         if engine in ("pallas", "pallas-manual") else 4)
+                preferred = d2q9_pallas_inplace.choose_config(p.ny, p.nx)[1]
+            elif engine in ("pallas", "pallas-manual"):
+                from ..ops import d2q9_pallas
+
+                preferred = d2q9_pallas.choose_config(p.ny, p.nx)[1]
+            else:
+                preferred = 4
             k_steps = next(k for k in (preferred, 4, 2, 1)
                            if total % k == 0 and checkpoint_every % k == 0)
     elif k_steps is None:
@@ -241,7 +253,7 @@ def run_simulation_with_checkpoints(
         def gather(f):
             return f
 
-    elif engine in ("jax", "pallas", "pallas-manual"):
+    elif engine in ("jax", "pallas", "pallas-manual", "pallas-inplace"):
         mask = jnp.asarray(obstacles.mask)
         f = jnp.asarray(f_host)
         if need_first_accel:
@@ -258,6 +270,13 @@ def run_simulation_with_checkpoints(
                 from ..ops import d2q9_pallas_manual
 
                 return d2q9_pallas_manual.run(
+                    f, mask_f, num_steps=n, omega=p.omega,
+                    accel_w1=aw.w1, accel_w2=aw.w2,
+                    accel_row=accel_row, k_steps=k_steps)
+            if engine == "pallas-inplace":
+                from ..ops import d2q9_pallas_inplace
+
+                return d2q9_pallas_inplace.run(
                     f, mask_f, num_steps=n, omega=p.omega,
                     accel_w1=aw.w1, accel_w2=aw.w2,
                     accel_row=accel_row, k_steps=k_steps)

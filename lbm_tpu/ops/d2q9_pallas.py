@@ -439,15 +439,19 @@ def choose_config(h: int, w: int) -> tuple[int, int]:
 
 
 def choose_engine(h: int, w: int) -> str:
-    """'pallas' (automatic Mosaic pipeline) or 'pallas-manual' (explicit
-    double-buffered DMA, ops/d2q9_pallas_manual.py) — the measured best
-    single-chip engine for this grid.
+    """The measured best single-chip engine for this grid — currently
+    'pallas-inplace' (ops/d2q9_pallas_inplace.py) at EVERY size.
 
-    Resident grids ride XLA's VMEM state promotion, which the manual
-    engine's unconditional HBM round-trips forfeit: 1024^2 measured
-    11,575 (auto) vs 11,481 (manual). Non-resident grids are at the HBM
-    band-streaming floor where the manual pipeline hides ~0.3-1.4 ms of
-    copy per superstep behind the BGK math that Mosaic's automatic
-    pipeline leaves exposed: 2048^2 +2.2%, 4096^2 +4.9% (12,172 vs
-    11,606), 8192^2 +4.5% (experiments/d2q9-overlap/results.csv, v5e)."""
-    return "pallas" if h * w <= RESIDENT_STATE_CELLS else "pallas-manual"
+    Engine family, each the measured champion of an earlier round
+    (experiments/d2q9-overlap/results.csv, v5e):
+    * 'pallas' (automatic Mosaic pipeline): rides XLA's VMEM residency
+      promotion on <= 1280^2 grids; ~320 GB/s two-stream HBM floor above.
+    * 'pallas-manual' (explicit double-buffered DMA): hides ~40% of the
+      band copy behind compute — +2-5% on non-resident grids.
+    * 'pallas-inplace' (aliased write-back): one HBM stream instead of
+      two (~613 vs ~320 GB/s measured floor) and near-total DMA/compute
+      overlap — 1024^2 12,114 MLUPS (auto 11,886), 2048^2 14,238 (auto
+      11,377), 4096^2 15,186 (auto 11,606), 8192^2 14,369 (auto 10,548).
+    """
+    del h, w  # in-place wins at every measured size; keep the signature
+    return "pallas-inplace"

@@ -27,6 +27,8 @@ API = {
     "lbm_tpu.ops.d2q9_pallas": [
         "choose_band", "choose_config", "choose_engine",
         "default_vmem_limit", "stepk", "step", "run", "simulate"],
+    "lbm_tpu.ops.d2q9_pallas_inplace": [
+        "choose_config", "default_vmem_limit", "stepk", "run", "simulate"],
     "lbm_tpu.ops.d2q9_native": ["available", "run", "simulate"],
     "lbm_tpu.ops.d3q19": [
         "equilibrium", "stream_pull", "collide_fields", "step",

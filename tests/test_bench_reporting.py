@@ -57,6 +57,7 @@ def test_main_emits_secondary_metric_error_fields():
     assert '"d3q19_error"' in src
     assert '"d2q9_4096_error"' in src
     assert '"d2q9_manual_error"' in src
+    assert '"d2q9_inplace_error"' in src
 
 
 def test_manual_metric_runs_last():
@@ -69,13 +70,16 @@ def test_manual_metric_runs_last():
 
 
 def test_manual_success_joins_headline_candidates():
-    # a clean manual run must be able to claim the headline (it passes
-    # the same golden-prefix gate), and the recomputed value must stay
-    # consistent with the winning engine's seconds
+    # clean manual/inplace runs must be able to claim the headline (they
+    # pass the same golden-prefix gate), and the recomputed value must
+    # stay consistent with the winning engine's seconds
     src = inspect.getsource(bench.main)
     assert 'results["pallas_manual_k4"]' in src
+    assert 'results["pallas_inplace_k4"]' in src
     assert src.index('results["pallas_manual_k4"]') > \
         src.index('"d2q9_manual_mlups"')
+    # the inplace subprocess runs last of all
+    assert src.index('"d2q9_inplace_') > src.index('"d2q9_manual_')
 
 
 def test_preflight_passes_on_quick_op(capsys):
