@@ -24,10 +24,12 @@ def main(argv=None) -> int:
     parser.add_argument("--density", type=float, default=0.1)
     parser.add_argument("--accel", type=float, default=0.005)
     parser.add_argument("--engine", default="jax",
-                        choices=["jax", "pallas", "sharded", "sharded-pallas",
-                                 "native"],
+                        choices=["jax", "pallas", "pallas-inplace",
+                                 "sharded", "sharded-pallas", "native"],
                         help="'native' = serial C++ host oracle "
-                             "(native/d3q19_serial.cpp, no JAX)")
+                             "(native/d3q19_serial.cpp, no JAX); "
+                             "'pallas-inplace' = aliased one-stream kernel "
+                             "(fastest single-chip)")
     parser.add_argument("--overlap", action="store_true",
                         help="sharded-pallas only: overlap the ghost-plane "
                              "exchange with the interior kernel (even z "
@@ -39,7 +41,8 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint-every", type=int, default=None,
                         metavar="N",
                         help="write an atomic state checkpoint every N steps "
-                             "(engines jax|pallas|native; chunking is "
+                             "(engines jax|pallas|pallas-inplace|native; "
+                             "chunking is "
                              "bit-identical to an uninterrupted run)")
     parser.add_argument("--checkpoint", default=None, metavar="FILE",
                         help="checkpoint file (default: "

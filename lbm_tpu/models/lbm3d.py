@@ -78,7 +78,7 @@ def run_simulation_with_checkpoints(
     accel_plane = nz - 2
     np_dtype = np.dtype(dtype)
 
-    pallas_like = engine in ("pallas", "sharded-pallas")
+    pallas_like = engine in ("pallas", "pallas-inplace", "sharded-pallas")
     if pallas_like and k_steps is None:
         n_shards = None
         if engine == "sharded-pallas":
@@ -92,9 +92,9 @@ def run_simulation_with_checkpoints(
             f"pallas checkpointing needs num_steps ({num_steps}) and "
             f"checkpoint_every ({checkpoint_every}) divisible by k_steps "
             f"({k_steps}) for bit-exact chunking")
-    if engine == "pallas" and nz % k_steps:
+    if engine in ("pallas", "pallas-inplace") and nz % k_steps:
         raise ValueError(
-            f"engine='pallas' needs nz ({nz}) divisible by k_steps "
+            f"engine={engine!r} needs nz ({nz}) divisible by k_steps "
             f"({k_steps}): the kernel's z-halo blocks are K-plane aligned "
             "(use k_steps=None for auto-selection, or the jax engine)")
 
@@ -137,7 +137,7 @@ def run_simulation_with_checkpoints(
             return (tot.astype(np_dtype) / np_dtype.type(num_free)
                     ).astype(np.float64)
 
-    elif engine in ("jax", "pallas"):
+    elif engine in ("jax", "pallas", "pallas-inplace"):
         import jax.numpy as jnp
 
         from ..ops import d3q19
@@ -155,6 +155,12 @@ def run_simulation_with_checkpoints(
             if engine == "jax":
                 return d3q19.run(f, mask, amask, num_steps=n, omega=omega,
                                  density=density, accel=accel)
+            if engine == "pallas-inplace":
+                from ..ops import d3q19_pallas_inplace
+
+                return d3q19_pallas_inplace.run(
+                    f, mask_f, num_steps=n, k_steps=k_steps, omega=omega,
+                    density=density, accel=accel, accel_plane=accel_plane)
             return d3q19_pallas.run(
                 f, mask_f, num_steps=n, k_steps=k_steps, omega=omega,
                 density=density, accel=accel, accel_plane=accel_plane,

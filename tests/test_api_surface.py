@@ -36,6 +36,8 @@ API = {
     "lbm_tpu.ops.d3q19_lattice": ["initial_distributions"],
     "lbm_tpu.ops.d3q19_pallas": [
         "choose_config", "default_vmem_limit", "stepk", "run"],
+    "lbm_tpu.ops.d3q19_pallas_inplace": [
+        "default_vmem_limit", "stepk", "run"],
     "lbm_tpu.ops.d3q19_native": ["available", "run", "simulate"],
     "lbm_tpu.ops.stencil": [
         "blur_step_conv", "blur_step_pallas", "blur_k_pallas",
