@@ -443,10 +443,11 @@ def d2q9_4096_only() -> int:
 
 def d3q19_only(iters: int = D3_ITERS) -> int:
     """Subprocess entry: print seconds for the 3-D stretch config on the
-    in-place aliased engine (5,185 vs 3,220 MLUPS for the two-stream slab
-    kernel at this shape — experiments/d2q9-overlap methodology applied in
-    d3q19_pallas_inplace), gated on engine parity vs the pure-JAX step
-    over a short prefix (no golden data at this 3-D shape)."""
+    in-place aliased engine at K=3 (6,386 vs 3,253 MLUPS for the
+    two-stream slab kernel at this shape; K=2 reads 5,131 and K=4 fails
+    to compile — experiments/lbm3d-perf/inplace.csv), gated on engine
+    parity vs the pure-JAX step over a short prefix (no golden data at
+    this 3-D shape)."""
     import jax.numpy as jnp
 
     from lbm_tpu.ops import d3q19, d3q19_pallas_inplace
@@ -463,7 +464,7 @@ def d3q19_only(iters: int = D3_ITERS) -> int:
 
     def runner(n):
         return d3q19_pallas_inplace.run(
-            f, mask_f, num_steps=n, k_steps=2, omega=1.85, density=0.1,
+            f, mask_f, num_steps=n, k_steps=3, omega=1.85, density=0.1,
             accel=0.005, accel_plane=nz - 2, bz=4)
 
     amask = d3q19.accel_plane_mask(nz, ny, nx, nz - 2)

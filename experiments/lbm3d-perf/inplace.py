@@ -9,11 +9,16 @@ aliased in place (`input_output_aliases`) streams at ~520-610 GB/s. The
 full == copy), so its ceiling should scale almost directly with the stream
 rate. `d3q19_pallas_inplace` applies the scheme; this script records
 
-  1. in-place vs automatic engine across the slab-feasible shapes of
-     sizes.py (256x256-plane shapes need the blocked fallback and are
-     recorded as failed for the slab in-place kernel), and
-  2. diagnostic modes (copy / stream_only / full) of the in-place kernel
-     at the bench shape, to locate the new wall.
+  1. in-place vs automatic engine across the shapes of sizes.py: the
+     fixed bz=4/K=2 slab row (fails on 256x256-plane shapes whose slab
+     working set exceeds VMEM) and the production family row selected by
+     d3q19_pallas_inplace_blocked.choose_k (slab K=3 where feasible, the
+     blocked in-place kernel beyond),
+  2. diagnostic modes (copy / stream_only / full) of the slab in-place
+     kernel at the bench shape, to locate the new wall, and
+  3. the blocked in-place kernel's copy floor at 32x256x256 (the blocked
+     kernel has no separate stream_only mode — its full path IS the
+     stream; measured full 4,128 vs copy 4,709 at K=2).
 
 Timing: best-of-3 over a 600-iter window (steady-state; see sizes.py).
 
@@ -33,7 +38,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 
-from lbm_tpu.ops import d3q19, d3q19_pallas, d3q19_pallas_inplace
+from lbm_tpu.ops import (d3q19, d3q19_pallas, d3q19_pallas_inplace,
+                         d3q19_pallas_inplace_blocked as blk)
 from lbm_tpu.utils import profiling
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -76,7 +82,7 @@ def _run_mode(f, mask_f, *, num_steps, mode, nz):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-    iters -= iters % 2
+    iters -= iters % 6  # divisible by every K in (1, 2, 3)
     out_path = os.path.join(HERE, "inplace.csv")
     platform = jax.devices()[0].platform
     with open(out_path, "w") as out:
@@ -85,9 +91,6 @@ def main():
         for nz, ny, nx in SHAPES:
             cells = nz * ny * nx
             f, mask_f = _case(nz, ny, nx)
-            # one aliased HBM stream: 19 reads + 19 writes per cell per
-            # K-pass -> 2*19*4 bytes / K=2 steps of traffic per cell-step
-            bytes_per_cell_step = 2 * 19 * 4 / 2
 
             def run_auto(n, f=f, mask_f=mask_f, nz=nz, ny=ny, nx=nx):
                 bz, by = d3q19_pallas.choose_config(nz, ny, nx, 2)
@@ -101,8 +104,34 @@ def main():
                     f, mask_f, num_steps=n, k_steps=2, omega=1.85,
                     density=0.1, accel=0.005, accel_plane=nz - 2, bz=4)
 
-            for name, fn in (("pallas_auto", run_auto),
-                             ("pallas_inplace_bz4_k2", run_inplace)):
+            # the production config: choose_k routes slab (K=3) where its
+            # working set fits, the blocked in-place kernel beyond
+            kind, cbz, cby, ck = blk.choose_k(nz, ny, nx, iters)
+            if kind == "slab":
+                family_name = f"pallas_inplace_slab_bz{cbz}_k{ck}"
+
+                def run_family(n, f=f, mask_f=mask_f, nz=nz, cbz=cbz,
+                               ck=ck):
+                    return d3q19_pallas_inplace.run(
+                        f, mask_f, num_steps=n, k_steps=ck, omega=1.85,
+                        density=0.1, accel=0.005, accel_plane=nz - 2,
+                        bz=cbz)
+            else:
+                family_name = f"pallas_inplace_blocked_bz{cbz}by{cby}_k{ck}"
+
+                def run_family(n, f=f, mask_f=mask_f, nz=nz, cbz=cbz,
+                               cby=cby, ck=ck):
+                    return blk.run(
+                        f, mask_f, num_steps=n, k_steps=ck, omega=1.85,
+                        density=0.1, accel=0.005, accel_plane=nz - 2,
+                        bz=cbz, by=cby)
+
+            for name, fn, k in (("pallas_auto", run_auto, 2),
+                                ("pallas_inplace_bz4_k2", run_inplace, 2),
+                                (family_name, run_family, ck)):
+                # one aliased HBM stream: 19 reads + 19 writes per cell
+                # per K-pass -> 2*19*4/K bytes of traffic per cell-step
+                bytes_per_cell_step = 2 * 19 * 4 / k
                 try:
                     dt = _time_best_of(fn, iters)
                 except Exception as e:  # noqa: BLE001
@@ -135,6 +164,36 @@ def main():
             print(row, flush=True)
             out.write(row + "\n")
             out.flush()
+
+        # blocked kernel's copy floor at the first blocked shape (its
+        # full path IS the stream — no separate stream_only mode)
+        nz, ny, nx = 32, 256, 256
+        cells = nz * ny * nx
+        f, mask_f = _case(nz, ny, nx)
+        _, cbz, cby, ck = blk.choose_k(nz, ny, nx, iters)
+
+        @functools.partial(jax.jit, static_argnames=("num_steps",))
+        def _blk_copy(f, mask_f, *, num_steps):
+            def body(carry, _):
+                f_new, tots = blk.stepk(
+                    carry, mask_f, k_steps=ck, omega=1.85, density=0.1,
+                    accel=0.005, accel_plane=nz - 2, bz=cbz, by=cby,
+                    mode="copy")
+                return f_new, tots
+
+            return jax.lax.scan(body, f, None, length=num_steps // ck)
+
+        def fn_copy(n):
+            return _blk_copy(f, mask_f, num_steps=n)
+
+        dt = _time_best_of(fn_copy, iters)
+        mlups = iters * cells / dt / 1e6
+        gbps = mlups * 1e6 * (2 * 19 * 4 / ck) / 1e9
+        row = (f"blocked_mode_copy_bz{cbz}by{cby}_k{ck},{platform},"
+               f"{nz}x{ny}x{nx},{iters},{dt:.4f},{mlups:.1f},{gbps:.0f}")
+        print(row, flush=True)
+        out.write(row + "\n")
+        out.flush()
     print(f"wrote {out_path}")
 
 

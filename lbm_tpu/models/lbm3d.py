@@ -20,7 +20,8 @@ from ..ops import d3q19_lattice  # numpy-only; keeps engine='native' JAX-free
 
 
 def select_k_steps(engine: str, num_steps: int, checkpoint_every: int,
-                   nz: int, n_shards: int | None = None) -> int:
+                   nz: int, n_shards: int | None = None,
+                   ny: int | None = None, nx: int | None = None) -> int:
     """Deepest K compatible with bit-exact chunking for this engine.
 
     Single-chip 'pallas' additionally needs nz % k == 0 (the kernel's
@@ -28,7 +29,22 @@ def select_k_steps(engine: str, num_steps: int, checkpoint_every: int,
     via plan_planes' pad-and-mask, so odd nz must NOT force K=1 there —
     but the pad plan must actually be feasible for the mesh (e.g. nz=7 on
     4 shards at K=2 would leave the last shard with < K valid planes), so
-    the selector checks plan_planes for the real shard count."""
+    the selector checks plan_planes for the real shard count.
+    'pallas-inplace' only needs a feasible in-place config (k <= bz | nz),
+    so K=3 — the TPU-measured production depth (6,386 vs 5,131 MLUPS,
+    lbm3d-perf/inplace.csv) — is reachable when ny/nx are given."""
+    if engine == "pallas-inplace" and ny is not None and nx is not None:
+        from ..ops import d3q19_pallas_inplace_blocked
+
+        for k in (3, 2, 1):
+            if num_steps % k or checkpoint_every % k:
+                continue
+            try:
+                d3q19_pallas_inplace_blocked.pick_engine(nz, ny, nx, k)
+            except ValueError:
+                continue
+            return k
+        return 1
     for k in (2, 1):
         if num_steps % k or checkpoint_every % k:
             continue
@@ -86,17 +102,25 @@ def run_simulation_with_checkpoints(
 
             n_shards = num_devices or len(jax.devices())
         k_steps = select_k_steps(engine, num_steps, checkpoint_every, nz,
-                                 n_shards=n_shards)
+                                 n_shards=n_shards, ny=ny, nx=nx)
     if pallas_like and (num_steps % k_steps or checkpoint_every % k_steps):
         raise ValueError(
             f"pallas checkpointing needs num_steps ({num_steps}) and "
             f"checkpoint_every ({checkpoint_every}) divisible by k_steps "
             f"({k_steps}) for bit-exact chunking")
-    if engine in ("pallas", "pallas-inplace") and nz % k_steps:
+    if engine == "pallas" and nz % k_steps:
         raise ValueError(
             f"engine={engine!r} needs nz ({nz}) divisible by k_steps "
             f"({k_steps}): the kernel's z-halo blocks are K-plane aligned "
             "(use k_steps=None for auto-selection, or the jax engine)")
+    if engine == "pallas-inplace":
+        from ..ops import d3q19_pallas_inplace_blocked
+
+        # raises a descriptive ValueError when no in-place config fits
+        # this (nz, ny, nx) at the requested K (the slab/blocked routing
+        # reused by run_chunk below)
+        ip_kind, ip_bz, ip_by = d3q19_pallas_inplace_blocked.pick_engine(
+            nz, ny, nx, k_steps)
 
     ck_path = Path(checkpoint_path)
     if resume and ck_path.exists():
@@ -156,11 +180,18 @@ def run_simulation_with_checkpoints(
                 return d3q19.run(f, mask, amask, num_steps=n, omega=omega,
                                  density=density, accel=accel)
             if engine == "pallas-inplace":
-                from ..ops import d3q19_pallas_inplace
+                from ..ops import (d3q19_pallas_inplace,
+                                   d3q19_pallas_inplace_blocked)
 
+                if ip_kind == "blocked":
+                    return d3q19_pallas_inplace_blocked.run(
+                        f, mask_f, num_steps=n, k_steps=k_steps,
+                        omega=omega, density=density, accel=accel,
+                        accel_plane=accel_plane, bz=ip_bz, by=ip_by)
                 return d3q19_pallas_inplace.run(
                     f, mask_f, num_steps=n, k_steps=k_steps, omega=omega,
-                    density=density, accel=accel, accel_plane=accel_plane)
+                    density=density, accel=accel, accel_plane=accel_plane,
+                    bz=ip_bz)
             return d3q19_pallas.run(
                 f, mask_f, num_steps=n, k_steps=k_steps, omega=omega,
                 density=density, accel=accel, accel_plane=accel_plane,

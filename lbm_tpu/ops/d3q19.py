@@ -172,16 +172,21 @@ def simulate(
     obstacle_mask=None,
     dtype=np.float32,
     engine: str = "jax",
-    k_steps: int = 2,
+    k_steps: int | None = None,
     num_devices: int | None = None,
     overlap: bool = False,
 ):
     """Lid-driven-style 3-D run: accelerated plane at z = nz-2, walls at
     z = 0 and z = nz-1 (the 3-D analogue of the shipped 2-D configs).
     engine='pallas' uses the fused K-step kernel (d3q19_pallas);
-    engine='pallas-inplace' the explicitly pipelined aliased variant
-    (d3q19_pallas_inplace — one HBM stream, 5,185 vs 3,220 MLUPS at the
-    bench shape on v5e);
+    engine='pallas-inplace' the explicitly pipelined aliased family
+    (one HBM stream: the z-slab kernel where its working set fits —
+    6,386 vs 3,253 MLUPS at the bench shape on v5e at K=3 — and the
+    (z, y)-blocked d3q19_pallas_inplace_blocked beyond, 4,417 vs 2,994
+    at 32x256x256; an explicit k_steps is honoured as an upper bound,
+    degraded to the deepest feasible K — lbm3d-perf/inplace.csv).
+    k_steps=None picks each engine's measured-best depth (3 for the
+    in-place family, 2 otherwise);
     engine='sharded' runs the jax step on a (z, y)-sharded mesh with
     XLA-implicit halo collectives (the 3-D multi-chip path — the winning
     "implicit" strategy of the 2-D halo study applied to z/y planes)."""
@@ -189,6 +194,8 @@ def simulate(
         raise ValueError(
             f"overlap=True is only implemented for engine='sharded-pallas' "
             f"(ghost-plane exchange/compute overlap), not engine={engine!r}")
+    if k_steps is None:
+        k_steps = 3 if engine == "pallas-inplace" else 2
     if engine == "native":
         from . import d3q19_native
 
@@ -250,15 +257,22 @@ def simulate(
             accel_plane=nz - 2, bz=bz, by=by,
         )
     elif engine == "pallas-inplace":
-        from . import d3q19_pallas_inplace
+        from . import d3q19_pallas_inplace, d3q19_pallas_inplace_blocked
 
-        if num_steps % k_steps or nz % k_steps:
-            k_steps = 1
-        f_final, tot = d3q19_pallas_inplace.run(
-            f, obstacle_mask.astype(f.dtype), num_steps=num_steps,
-            k_steps=k_steps, omega=omega, density=density, accel=accel,
-            accel_plane=nz - 2,
-        )
+        kind, bz, by, k = d3q19_pallas_inplace_blocked.choose_k(
+            nz, ny, nx, num_steps, max_k=k_steps)
+        if kind == "slab":
+            f_final, tot = d3q19_pallas_inplace.run(
+                f, obstacle_mask.astype(f.dtype), num_steps=num_steps,
+                k_steps=k, omega=omega, density=density, accel=accel,
+                accel_plane=nz - 2, bz=bz,
+            )
+        else:
+            f_final, tot = d3q19_pallas_inplace_blocked.run(
+                f, obstacle_mask.astype(f.dtype), num_steps=num_steps,
+                k_steps=k, omega=omega, density=density, accel=accel,
+                accel_plane=nz - 2, bz=bz, by=by,
+            )
     else:
         amask = accel_plane_mask(nz, ny, nx, nz - 2, dtype=f.dtype)
         f_final, tot = run(
