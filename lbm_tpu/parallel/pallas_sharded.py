@@ -7,7 +7,9 @@ step, each shard carries ghost bands — 8 rows (the kernel's halo-block
 height) and, when columns are sharded, 128 columns (the TPU lane width) —
 exchanged once per K steps with one `lax.ppermute` pair per mesh axis (the
 2-wave scheme: columns first, then rows of the column-extended block so the
-corners ride along). The fused K-step Pallas kernel (ops/d2q9_pallas.py) then
+corners ride along). The fused K-step local kernel — by default the in-place
+aliased engine (ops/d2q9_pallas_inplace, the measured-best single-chip
+generation; local_engine='two-stream' keeps ops/d2q9_pallas.py) — then
 advances the ghost-extended block K timesteps entirely in VMEM. Information
 propagates one cell per step, so own cells stay exact for K <= 8 — the ghosts
 absorb the wavefront and are refreshed at the next exchange. Sum|u| partials
@@ -30,12 +32,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.params import Params
-from ..ops import d2q9, d2q9_pallas
+from ..ops import d2q9, d2q9_pallas, d2q9_pallas_inplace
 from . import halo as halo_lib, mesh as mesh_lib
 
 ROW, COL = mesh_lib.ROW_AXIS, mesh_lib.COL_AXIS
 GHOST = 8         # ghost band height = the kernel's halo-block height
 GHOST_COLS = 128  # ghost band width = TPU lane width
+
+
+def _local_stepk(local_engine: str):
+    """The ghost-extended local kernel. 'inplace' (production default):
+    the aliased one-HBM-stream kernel — the measured-best single-chip
+    engine at every grid size (d2q9-overlap/results.csv) and bit-identical
+    arithmetic to the two-stream kernel, so shard results are unchanged.
+    'two-stream' keeps ops/d2q9_pallas.py (the parity oracle)."""
+    if local_engine == "two-stream":
+        return d2q9_pallas.stepk
+    if local_engine == "inplace":
+        return d2q9_pallas_inplace.stepk
+    raise ValueError(
+        f"local_engine must be 'inplace' or 'two-stream', "
+        f"got {local_engine!r}")
 
 
 def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -116,15 +133,18 @@ def make_chunk_fn(
     ny: int,
     band: int | None = None,
     interpret: bool | None = None,
+    local_engine: str = "inplace",
 ):
     """Returns a jittable fn advancing the sharded state K steps:
     (f (9,ny,nx) P(None,'ry','rx'), mask_ext P('ry','rx'))
-    -> (f', tot_u (K,) replicated)."""
+    -> (f', tot_u (K,) replicated).
+    local_engine picks the on-chip kernel (see _local_stepk)."""
     if not 1 <= k_steps <= GHOST:
         raise ValueError(f"k_steps must be in 1..{GHOST}")
     n_rows, n_cols = mesh.devices.shape
     h, pad_rows = plan_rows(ny, n_rows)
     gc = GHOST_COLS if n_cols > 1 else 0
+    stepk = _local_stepk(local_engine)
 
     def local_chunk(f_loc, mask_ext_f):
         w = f_loc.shape[-1]
@@ -155,7 +175,7 @@ def make_chunk_fn(
             ext = jax.lax.dynamic_update_slice(ext, ghost_n, (0, vh + GHOST, 0))
 
         shard_row0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
-        ext_new, tots = d2q9_pallas.stepk(
+        ext_new, tots = stepk(
             ext, mask_ext_f, k_steps=k_steps, omega=omega,
             accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
             band=band, interpret=interpret,
@@ -180,7 +200,8 @@ def make_chunk_fn(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_steps", "k_steps", "omega", "accel_w1",
-                     "accel_w2", "accel_row", "ny", "band", "interpret"),
+                     "accel_w2", "accel_row", "ny", "band", "interpret",
+                     "local_engine"),
 )
 def run(
     f: jax.Array,
@@ -196,13 +217,14 @@ def run(
     ny: int,
     band: int | None = None,
     interpret: bool | None = None,
+    local_engine: str = "inplace",
 ):
     if num_steps % k_steps:
         raise ValueError("num_steps must be a multiple of k_steps")
     chunk = make_chunk_fn(
         mesh, k_steps=k_steps, omega=omega, accel_w1=accel_w1,
         accel_w2=accel_w2, accel_row=accel_row, ny=ny, band=band,
-        interpret=interpret,
+        interpret=interpret, local_engine=local_engine,
     )
 
     def body(carry, _):
@@ -263,9 +285,12 @@ def simulate(
     *,
     k_steps: int = 4,
     band: int | None = None,
+    local_engine: str = "inplace",
 ):
     """Full reference-semantics distributed simulation on the
-    ghost-band + local-Pallas path. Same contract as d2q9.simulate."""
+    ghost-band + local-Pallas path. Same contract as d2q9.simulate.
+    local_engine='inplace' (default) runs the aliased one-stream kernel
+    on each shard; 'two-stream' keeps the original kernel (oracle)."""
     if mesh is None:
         mesh = make_row_mesh()
     aw = d2q9.AccelWeights.from_params(params)
@@ -277,7 +302,7 @@ def simulate(
     f_final, tot_u = run(
         f, mask_ext_f, mesh=mesh, num_steps=params.max_iters,
         k_steps=k_steps, omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2,
-        accel_row=accel_row, ny=ny, band=band,
+        accel_row=accel_row, ny=ny, band=band, local_engine=local_engine,
     )
     if pad:
         f_final = f_final[:, :ny, :]

@@ -6,7 +6,10 @@ scheme in pallas_sharded.py. Each shard owns a contiguous slab of z-planes
 over a 1-D ('ry',) mesh row axis; y and x stay whole on every shard (their
 periodic wrap lives inside the kernel's rolls). Shards carry K ghost planes
 per side, exchanged once per K steps with one `lax.ppermute` pair; the fused
-K-step z-slab kernel (ops/d3q19_pallas.py) then advances the ghost-extended
+K-step local kernel — by default the in-place aliased family
+(ops/d3q19_pallas_inplace[_blocked], ~2x the two-stream kernel single-chip;
+local_engine='two-stream' keeps ops/d3q19_pallas.py as the parity oracle)
+— then advances the ghost-extended
 slab K timesteps entirely on-chip. Information propagates one plane per
 step, so owned planes stay exact for K <= ghost depth. Sum|u| partials
 exclude ghost planes (they duplicate neighbour planes) and are `psum`'d.
@@ -21,10 +24,42 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import d3q19, d3q19_pallas
+from ..ops import (d3q19, d3q19_pallas, d3q19_pallas_inplace,
+                   d3q19_pallas_inplace_blocked)
 from . import halo as halo_lib, mesh as mesh_lib
 
 ROW = mesh_lib.ROW_AXIS
+
+
+def _local_stepk(local_engine: str, k_steps: int, bz):
+    """The ghost-extended local kernel as a stepk-callable.
+
+    'inplace' (production default): the aliased one-HBM-stream family —
+    slab or (z,y)-blocked picked per extended-shape VMEM feasibility at
+    trace time (6,386 vs 3,253 MLUPS single-chip at the bench shape,
+    lbm3d-perf/inplace.csv; bit-identical arithmetic to the two-stream
+    kernel, so shard results are unchanged). 'two-stream' keeps the
+    original d3q19_pallas kernel (the parity oracle, and the only
+    K-even option K | bz supports). An explicit bz overrides the slab
+    pick; the blocked route always uses its calibrated config."""
+    if local_engine == "two-stream":
+        return functools.partial(d3q19_pallas.stepk, bz=bz)
+    if local_engine != "inplace":
+        raise ValueError(
+            f"local_engine must be 'inplace' or 'two-stream', "
+            f"got {local_engine!r}")
+
+    def stepk(ext, mask_ext_f, **kw):
+        _, nz_e, ny, nx = ext.shape
+        kind, pbz, pby = d3q19_pallas_inplace_blocked.pick_engine(
+            nz_e, ny, nx, k_steps)
+        if kind == "slab":
+            return d3q19_pallas_inplace.stepk(
+                ext, mask_ext_f, bz=pbz if bz is None else bz, **kw)
+        return d3q19_pallas_inplace_blocked.stepk(
+            ext, mask_ext_f, bz=pbz, by=pby, **kw)
+
+    return stepk
 
 
 def make_z_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -82,13 +117,15 @@ def make_chunk_fn(
     interpret: bool | None = None,
     vmem_limit: int | None = None,
     overlap: bool = False,
+    local_engine: str = "inplace",
 ):
     """Jittable fn advancing the z-sharded state K steps:
     (f (19,nz,ny,nx) P(None,'ry',None,None), mask_ext P('ry',None,None))
     -> (f', tot_u (K,) replicated).
 
     overlap=True splits the K-step update so the ghost ppermute can ride
-    under the bulk of the compute (see make_overlap_chunk_fn)."""
+    under the bulk of the compute (see make_overlap_chunk_fn).
+    local_engine picks the on-chip kernel (see _local_stepk)."""
     (n_shards,) = mesh.devices.shape
     g = k_steps  # ghost depth = steps absorbed between exchanges
     h, pad = plan_planes(nz, n_shards, g)
@@ -96,7 +133,8 @@ def make_chunk_fn(
         return make_overlap_chunk_fn(
             mesh, k_steps=k_steps, omega=omega, density=density, accel=accel,
             accel_plane=accel_plane, nz=nz, bz=bz, interpret=interpret,
-            vmem_limit=vmem_limit)
+            vmem_limit=vmem_limit, local_engine=local_engine)
+    stepk = _local_stepk(local_engine, k_steps, bz)
 
     def local_chunk(f_loc, mask_ext_f):
         _, _, ny, nx = f_loc.shape
@@ -118,9 +156,9 @@ def make_chunk_fn(
             ext = jax.lax.dynamic_update_slice(ext, ghost_n, (0, vh + g, 0, 0))
 
         shard_z0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
-        ext_new, tots = d3q19_pallas.stepk(
+        ext_new, tots = stepk(
             ext, mask_ext_f, k_steps=k_steps, omega=omega, density=density,
-            accel=accel, accel_plane=accel_plane, bz=bz, interpret=interpret,
+            accel=accel, accel_plane=accel_plane, interpret=interpret,
             vmem_limit=vmem_limit,
             plane_offset=shard_z0 - g,
             valid_planes=(g, g + vh),
@@ -150,6 +188,7 @@ def make_overlap_chunk_fn(
     bz: int | None = None,
     interpret: bool | None = None,
     vmem_limit: int | None = None,
+    local_engine: str = "inplace",
 ):
     """Communication/compute-overlapped variant of make_chunk_fn.
 
@@ -182,8 +221,12 @@ def make_overlap_chunk_fn(
             "thinner shards have no ghost-independent interior to overlap")
 
     kw = dict(k_steps=k_steps, omega=omega, density=density, accel=accel,
-              accel_plane=accel_plane, bz=bz, interpret=interpret,
+              accel_plane=accel_plane, interpret=interpret,
               vmem_limit=vmem_limit, global_nz=nz)
+    step_int = _local_stepk(local_engine, k_steps, bz)
+    # boundary kernels: bz auto-chosen — the caller's interior bz need
+    # not divide the 3K-plane slabs
+    step_bnd = _local_stepk(local_engine, k_steps, None)
 
     def local_chunk(f_loc, mask_ext_f):
         _, _, ny, nx = f_loc.shape
@@ -196,23 +239,21 @@ def make_overlap_chunk_fn(
         # 2. ...then the interior kernel, which depends only on f_loc:
         # XLA may overlap it with the ppermutes. Planes outside [K, h-K)
         # wrap around the slab (wrong physics) and are discarded/excluded.
-        int_new, t_i = d3q19_pallas.stepk(
+        int_new, t_i = step_int(
             f_loc, mask_ext_f[g : g + h], plane_offset=shard_z0,
             valid_planes=(g, h - g), **kw)
 
         # 3. boundary kernels: K ghost + 2K owned planes -> the K edge
-        # planes whose stencil reaches the ghosts (bz auto-chosen: the
-        # caller's interior bz need not divide the 3K-plane slabs)
-        bkw = dict(kw, bz=None)
+        # planes whose stencil reaches the ghosts
         south_in = jnp.concatenate([ghost_s, f_loc[:, : 2 * g]], axis=1)
-        s_new, t_s = d3q19_pallas.stepk(
+        s_new, t_s = step_bnd(
             south_in, mask_ext_f[: 3 * g], plane_offset=shard_z0 - g,
-            valid_planes=(g, 2 * g), **bkw)
+            valid_planes=(g, 2 * g), **kw)
         north_in = jnp.concatenate([f_loc[:, h - 2 * g :], ghost_n], axis=1)
-        n_new, t_n = d3q19_pallas.stepk(
+        n_new, t_n = step_bnd(
             north_in, mask_ext_f[g + h - 2 * g : g + h + g],
             plane_offset=shard_z0 + h - 2 * g,
-            valid_planes=(g, 2 * g), **bkw)
+            valid_planes=(g, 2 * g), **kw)
 
         f_new = jnp.concatenate(
             [s_new[:, g : 2 * g], int_new[:, g : h - g],
@@ -232,7 +273,7 @@ def make_overlap_chunk_fn(
     jax.jit,
     static_argnames=("mesh", "num_steps", "k_steps", "omega", "density",
                      "accel", "accel_plane", "nz", "bz", "interpret",
-                     "vmem_limit", "overlap"),
+                     "vmem_limit", "overlap", "local_engine"),
 )
 def run(
     f: jax.Array,
@@ -250,13 +291,14 @@ def run(
     interpret: bool | None = None,
     vmem_limit: int | None = None,
     overlap: bool = False,
+    local_engine: str = "inplace",
 ):
     if num_steps % k_steps:
         raise ValueError("num_steps must be a multiple of k_steps")
     chunk = make_chunk_fn(
         mesh, k_steps=k_steps, omega=omega, density=density, accel=accel,
         accel_plane=accel_plane, nz=nz, bz=bz, interpret=interpret,
-        vmem_limit=vmem_limit, overlap=overlap,
+        vmem_limit=vmem_limit, overlap=overlap, local_engine=local_engine,
     )
 
     def body(carry, _):
@@ -279,10 +321,14 @@ def simulate(
     k_steps: int = 2,
     bz: int | None = None,
     overlap: bool = False,
+    local_engine: str = "inplace",
 ):
     """Full 3-D distributed simulation on the ghost-plane + local-Pallas
     path. Same contract as d3q19.simulate. overlap=True uses the
-    communication/compute-overlapped chunk (even sharding only)."""
+    communication/compute-overlapped chunk (even sharding only).
+    local_engine='inplace' (default) runs the aliased one-stream kernel
+    family on each shard — bit-identical arithmetic to 'two-stream'
+    (the original kernel, kept as the parity oracle)."""
     if mesh is None:
         mesh = make_z_mesh()
     (n_shards,) = mesh.devices.shape
@@ -311,7 +357,7 @@ def simulate(
     f_final, tot = run(
         f, mask_ext_f, mesh=mesh, num_steps=num_steps, k_steps=k_steps,
         omega=omega, density=density, accel=accel, accel_plane=nz - 2,
-        nz=nz, bz=bz, overlap=overlap,
+        nz=nz, bz=bz, overlap=overlap, local_engine=local_engine,
     )
     if pad:
         f_final = f_final[:, :nz]

@@ -250,6 +250,50 @@ def test_ghost_plane_pallas_sharded_uneven_nz(cases):
                                    err_msg=f"nz={nz} shards={n_shards} k={k}")
 
 
+def test_local_engine_inplace_matches_two_stream():
+    """The in-place aliased local kernel family (the sharded default) is
+    bit-identical to the two-stream kernel on every shard — the multi-chip
+    path inherits the single-chip parity guarantee (interpret mode
+    executes DMAs in program order, so this exercises the in-place
+    write-back ordering under shard_map)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    nz, ny, nx = 16, 16, 128
+    mesh = pallas_sharded_3d.make_z_mesh(4)
+    f_ip, av_ip = pallas_sharded_3d.simulate(
+        nz, ny, nx, num_steps=4, mesh=mesh, k_steps=2,
+        local_engine="inplace")
+    f_ts, av_ts = pallas_sharded_3d.simulate(
+        nz, ny, nx, num_steps=4, mesh=mesh, k_steps=2,
+        local_engine="two-stream")
+    np.testing.assert_array_equal(np.asarray(f_ip), np.asarray(f_ts))
+    np.testing.assert_array_equal(np.asarray(av_ip), np.asarray(av_ts))
+
+
+def test_ghost_plane_sharded_k3():
+    """K=3 ghost depth (only the in-place family supports K=3 locally —
+    the two-stream kernel needs K | bz): matches the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    nz, ny, nx = 18, 16, 128
+    f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=6)
+    mesh = pallas_sharded_3d.make_z_mesh(2)
+    f_sh, av_sh = pallas_sharded_3d.simulate(
+        nz, ny, nx, num_steps=6, mesh=mesh, k_steps=3)
+    np.testing.assert_allclose(np.asarray(av_sh), np.asarray(av_ref),
+                               rtol=2e-5, atol=2e-8)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_plan_planes_rejects_too_many_shards():
     import pytest
 

@@ -73,6 +73,28 @@ def test_matches_global_engine(n_shards, k_steps):
                                rtol=1e-4)
 
 
+def test_local_engine_inplace_matches_two_stream():
+    """The in-place aliased local kernel (the sharded default since round
+    3) is bit-identical to the two-stream kernel on every shard — the
+    multi-chip path inherits the single-chip parity guarantee (interpret
+    mode executes DMAs in program order, exercising the in-place
+    write-back ordering under shard_map)."""
+    ny, nx = 64, 128
+    f, mask = make_case(ny, nx)
+    w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
+    mesh = pallas_sharded.make_row_mesh(4)
+    mask_ext = jnp.asarray(pallas_sharded.extended_mask(mask, 4),
+                           jnp.float32)
+    kw = dict(mesh=mesh, num_steps=4, k_steps=2, omega=1.85, accel_w1=w1,
+              accel_w2=w2, accel_row=ny - 2, ny=ny, band=8)
+    f_ip, t_ip = pallas_sharded.run(jnp.asarray(f), mask_ext,
+                                    local_engine="inplace", **kw)
+    f_ts, t_ts = pallas_sharded.run(jnp.asarray(f), mask_ext,
+                                    local_engine="two-stream", **kw)
+    np.testing.assert_array_equal(np.asarray(f_ip), np.asarray(f_ts))
+    np.testing.assert_array_equal(np.asarray(t_ip), np.asarray(t_ts))
+
+
 def test_simulate_golden_prefix(reference_dir):
     """Distributed Pallas run reproduces the golden av_vels prefix in f32."""
     p = Params.from_file(f"{reference_dir}/params/input_128x128.params")
