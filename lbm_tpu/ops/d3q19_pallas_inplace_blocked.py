@@ -18,6 +18,17 @@ are STATIC slices (`by-8:by` / `0:8`) of the neighbouring block. The
 reshape is free (contiguous view) and `input_output_aliases` still
 aliases the same buffer.
 
+State assembly is DMA-direct: all nine input regions (center, z-halos,
+8-row y-halo blocks, corners) land in ONE extended VMEM buffer at their
+static offsets, so the compute body reads a contiguous
+(19, bz+2K, by+2K, nx) slice with no `jnp.concatenate` assembly copies.
+(The earlier concat-assembled revision of this kernel measured 4,417
+MLUPS at 32x256x256/K=3 vs a 5,813-equivalent copy floor; the assembly
+copies — which the slab kernel hides under its larger per-block DMAs —
+were the prime suspect for that gap. The extended buffer's VMEM
+footprint is algebraically identical to the nine separate buffers', so
+the calibrated (bz, by) tables carry over unchanged.)
+
 In-place ordering is row-granular: a z-row of blocks (all iy of one iz)
 is buffered in a 2-row VMEM block ring and flushed back into the input
 lattice only after EVERY block of row iz+1 has fetched (row iz+1's
@@ -129,10 +140,7 @@ def choose_k(nz: int, ny: int, nx: int, num_steps: int, max_k: int = 3
 
 
 def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
-            c_sl, zp_sl, zn_sl, yp_sl, yn_sl,
-            cpp_sl, cpn_sl, cnp_sl, cnn_sl,
-            mc_sl, mzp_sl, mzn_sl, myp_sl, myn_sl,
-            mpp_sl, mpn_sl, mnp_sl, mnn_sl,
+            ext_f, ext_m,
             o_ring, wrap_sl,
             f_sem, m_sem, o_sem, wrap_sem,
             *, bz: int, by: int, k_steps: int, omega: float,
@@ -164,34 +172,44 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
                 jax.lax.rem(iy - 1 + nby, nby),        # y-prev block
                 jax.lax.rem(iy + 1, nby))              # y-next block
 
+    # Extended-buffer geometry: ext_f[slot] is (19, bz+2k, 16+by, nx) —
+    # z rows [0,k)=z-prev | [k,k+bz)=center | [k+bz,k+2k+bz)... i.e.
+    # [k+bz, bz+2k)=z-next; y rows [0,8)=y-prev 8-row halo block |
+    # [8, 8+by)=center | [8+by, 16+by)=y-next. Every input DMA lands at
+    # its static offset, so compute reads one contiguous slice and there
+    # is no in-VMEM concat assembly. The union of the nine regions tiles
+    # the buffer exactly — no cell is left stale between iterations.
+    ZC, ZN = k, k + bz          # z offsets of center / z-next regions
+    YC, YN = 8, 8 + by          # y offsets of center / y-next regions
+
     def _f_always(slot, j):
         _, iy, z0, zp0, _, jbp, jbn = _idx(j)
         A = pltpu.make_async_copy
         return (
-            A(f_hbm.at[:, pl.ds(z0, bz), iy], c_sl.at[slot],
-              f_sem.at[slot, 0]),
-            A(f_hbm.at[:, pl.ds(zp0, k), iy], zp_sl.at[slot],
-              f_sem.at[slot, 1]),
+            A(f_hbm.at[:, pl.ds(z0, bz), iy],
+              ext_f.at[slot, :, ZC:ZN, YC:YN], f_sem.at[slot, 0]),
+            A(f_hbm.at[:, pl.ds(zp0, k), iy],
+              ext_f.at[slot, :, 0:ZC, YC:YN], f_sem.at[slot, 1]),
             A(f_hbm.at[:, pl.ds(z0, bz), jbp, pl.ds(by - 8, 8)],
-              yp_sl.at[slot], f_sem.at[slot, 3]),
+              ext_f.at[slot, :, ZC:ZN, 0:YC], f_sem.at[slot, 3]),
             A(f_hbm.at[:, pl.ds(z0, bz), jbn, pl.ds(0, 8)],
-              yn_sl.at[slot], f_sem.at[slot, 4]),
+              ext_f.at[slot, :, ZC:ZN, YN:], f_sem.at[slot, 4]),
             A(f_hbm.at[:, pl.ds(zp0, k), jbp, pl.ds(by - 8, 8)],
-              cpp_sl.at[slot], f_sem.at[slot, 5]),
+              ext_f.at[slot, :, 0:ZC, 0:YC], f_sem.at[slot, 5]),
             A(f_hbm.at[:, pl.ds(zp0, k), jbn, pl.ds(0, 8)],
-              cpn_sl.at[slot], f_sem.at[slot, 6]),
+              ext_f.at[slot, :, 0:ZC, YN:], f_sem.at[slot, 6]),
         )
 
     def _f_znext_hbm(slot, j):
         _, iy, _, _, zn0, jbp, jbn = _idx(j)
         A = pltpu.make_async_copy
         return (
-            A(f_hbm.at[:, pl.ds(zn0, k), iy], zn_sl.at[slot],
-              f_sem.at[slot, 2]),
+            A(f_hbm.at[:, pl.ds(zn0, k), iy],
+              ext_f.at[slot, :, ZN:, YC:YN], f_sem.at[slot, 2]),
             A(f_hbm.at[:, pl.ds(zn0, k), jbp, pl.ds(by - 8, 8)],
-              cnp_sl.at[slot], f_sem.at[slot, 7]),
+              ext_f.at[slot, :, ZN:, 0:YC], f_sem.at[slot, 7]),
             A(f_hbm.at[:, pl.ds(zn0, k), jbn, pl.ds(0, 8)],
-              cnn_sl.at[slot], f_sem.at[slot, 8]),
+              ext_f.at[slot, :, ZN:, YN:], f_sem.at[slot, 8]),
         )
 
     def _f_znext_wrap(slot, j):
@@ -201,11 +219,12 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
         _, iy, _, _, _, jbp, jbn = _idx(j)
         A = pltpu.make_async_copy
         return (
-            A(wrap_sl.at[:, :, iy], zn_sl.at[slot], f_sem.at[slot, 2]),
-            A(wrap_sl.at[:, :, jbp, pl.ds(by - 8, 8)], cnp_sl.at[slot],
-              f_sem.at[slot, 7]),
-            A(wrap_sl.at[:, :, jbn, pl.ds(0, 8)], cnn_sl.at[slot],
-              f_sem.at[slot, 8]),
+            A(wrap_sl.at[:, :, iy],
+              ext_f.at[slot, :, ZN:, YC:YN], f_sem.at[slot, 2]),
+            A(wrap_sl.at[:, :, jbp, pl.ds(by - 8, 8)],
+              ext_f.at[slot, :, ZN:, 0:YC], f_sem.at[slot, 7]),
+            A(wrap_sl.at[:, :, jbn, pl.ds(0, 8)],
+              ext_f.at[slot, :, ZN:, YN:], f_sem.at[slot, 8]),
         )
 
     def _m_dmas(slot, j):
@@ -213,24 +232,24 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
         _, iy, z0, zp0, zn0, jbp, jbn = _idx(j)
         A = pltpu.make_async_copy
         return (
-            A(mask_hbm.at[pl.ds(z0, bz), iy], mc_sl.at[slot],
-              m_sem.at[slot, 0]),
-            A(mask_hbm.at[pl.ds(zp0, k), iy], mzp_sl.at[slot],
-              m_sem.at[slot, 1]),
-            A(mask_hbm.at[pl.ds(zn0, k), iy], mzn_sl.at[slot],
-              m_sem.at[slot, 2]),
+            A(mask_hbm.at[pl.ds(z0, bz), iy],
+              ext_m.at[slot, ZC:ZN, YC:YN], m_sem.at[slot, 0]),
+            A(mask_hbm.at[pl.ds(zp0, k), iy],
+              ext_m.at[slot, 0:ZC, YC:YN], m_sem.at[slot, 1]),
+            A(mask_hbm.at[pl.ds(zn0, k), iy],
+              ext_m.at[slot, ZN:, YC:YN], m_sem.at[slot, 2]),
             A(mask_hbm.at[pl.ds(z0, bz), jbp, pl.ds(by - 8, 8)],
-              myp_sl.at[slot], m_sem.at[slot, 3]),
+              ext_m.at[slot, ZC:ZN, 0:YC], m_sem.at[slot, 3]),
             A(mask_hbm.at[pl.ds(z0, bz), jbn, pl.ds(0, 8)],
-              myn_sl.at[slot], m_sem.at[slot, 4]),
+              ext_m.at[slot, ZC:ZN, YN:], m_sem.at[slot, 4]),
             A(mask_hbm.at[pl.ds(zp0, k), jbp, pl.ds(by - 8, 8)],
-              mpp_sl.at[slot], m_sem.at[slot, 5]),
+              ext_m.at[slot, 0:ZC, 0:YC], m_sem.at[slot, 5]),
             A(mask_hbm.at[pl.ds(zp0, k), jbn, pl.ds(0, 8)],
-              mpn_sl.at[slot], m_sem.at[slot, 6]),
+              ext_m.at[slot, 0:ZC, YN:], m_sem.at[slot, 6]),
             A(mask_hbm.at[pl.ds(zn0, k), jbp, pl.ds(by - 8, 8)],
-              mnp_sl.at[slot], m_sem.at[slot, 7]),
+              ext_m.at[slot, ZN:, 0:YC], m_sem.at[slot, 7]),
             A(mask_hbm.at[pl.ds(zn0, k), jbn, pl.ds(0, 8)],
-              mnn_sl.at[slot], m_sem.at[slot, 8]),
+              ext_m.at[slot, ZN:, YN:], m_sem.at[slot, 8]),
         )
 
     def start_in(slot, j):
@@ -283,12 +302,6 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
     def roll_x(x, d):
         return pltpu.roll(x, d % nx, axis=x.ndim - 1)
 
-    def y_ext(center, ypb, ynb, width):
-        # center (C, Z, Y, nx) + 8-row y-halo blocks -> Y + 2*width rows
-        return jnp.concatenate(
-            [ypb[..., 8 - width: 8, :], center, ynb[..., 0:width, :]],
-            axis=-2)
-
     def streamed(ext, n_z, n_y):
         out = []
         for q in range(d3q19.NUM_SPEEDS):
@@ -327,23 +340,17 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
                 out_dma(iz - 2, iy_out).wait()
 
         if mode == "copy":
-            o_ring[out_slot] = c_sl[slot][...]
-            tot_ref[0, 0] += jnp.sum(c_sl[slot][0, :1, :1, :1].astype(dt))
+            o_ring[out_slot] = ext_f[slot, :, ZC:ZN, YC:YN, :]
+            tot_ref[0, 0] += jnp.sum(
+                ext_f[slot, 0, ZC:ZC + 1, YC:YC + 1, :1].astype(dt))
             return 0
 
-        zprev = y_ext(zp_sl[slot], cpp_sl[slot], cpn_sl[slot], k)
-        center = y_ext(c_sl[slot], yp_sl[slot], yn_sl[slot], k)
-        znext = y_ext(zn_sl[slot], cnp_sl[slot], cnn_sl[slot], k)
-        state = jnp.concatenate([zprev, center, znext], axis=1).astype(dt)
-
-        if k > 1:
-            m_center = y_ext(mc_sl[slot], myp_sl[slot], myn_sl[slot], k - 1)
-            m_zprev = y_ext(mzp_sl[slot], mpp_sl[slot], mpn_sl[slot], k - 1)
-            m_znext = y_ext(mzn_sl[slot], mnp_sl[slot], mnn_sl[slot], k - 1)
-            mask_wide = jnp.concatenate(
-                [m_zprev[1:], m_center, m_znext[: k - 1]], axis=0)
-        else:
-            mask_wide = mc_sl[slot][...]
+        # one contiguous slice of the DMA-assembled extended buffer —
+        # (19, bz+2k, by+2k, nx), no concat copies
+        state = ext_f[slot, :, :, YC - k: YN + k, :].astype(dt)
+        # mask needs one fewer halo ring (sub-step jj consumes width k-jj)
+        mask_wide = ext_m[slot, 1: ZN + k - 1,
+                          YC - (k - 1): YN + (k - 1), :]
 
         for jj in range(1, k + 1):
             n_z = bz + 2 * (k - jj)
@@ -422,21 +429,10 @@ def _build_step(shape, dtype_name, bz, by, k_steps, omega, density, accel,
         ],
         input_output_aliases={1: 0},
         scratch_shapes=[
-            V(19, bz, by),   # center
-            V(19, k, by),    # z-prev halo
-            V(19, k, by),    # z-next halo
-            V(19, bz, 8),    # y-prev halo
-            V(19, bz, 8),    # y-next halo
-            V(19, k, 8), V(19, k, 8), V(19, k, 8), V(19, k, 8),  # corners
-            pltpu.VMEM((2, bz, by, nx), dtype),  # mask center
-            pltpu.VMEM((2, k, by, nx), dtype),   # mask z-prev
-            pltpu.VMEM((2, k, by, nx), dtype),   # mask z-next
-            pltpu.VMEM((2, bz, 8, nx), dtype),   # mask y-prev
-            pltpu.VMEM((2, bz, 8, nx), dtype),   # mask y-next
-            pltpu.VMEM((2, k, 8, nx), dtype), pltpu.VMEM((2, k, 8, nx),
-                                                         dtype),
-            pltpu.VMEM((2, k, 8, nx), dtype), pltpu.VMEM((2, k, 8, nx),
-                                                         dtype),
+            # DMA-assembled extended input (double-buffered): z-prev |
+            # center | z-next rows x 8-row y-halo | center | y-halo cols
+            V(19, bz + 2 * k, 16 + by),               # ext_f
+            pltpu.VMEM((2, bz + 2 * k, 16 + by, nx), dtype),  # ext_m
             pltpu.VMEM((2 * nby, 19, bz, by, nx), dtype),  # out block ring
             pltpu.VMEM((19, k, nby, by, nx), dtype),  # wraparound snapshot
             pltpu.SemaphoreType.DMA((2, 9)),          # f in
