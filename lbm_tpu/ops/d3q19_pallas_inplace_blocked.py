@@ -22,12 +22,16 @@ State assembly is DMA-direct: all nine input regions (center, z-halos,
 8-row y-halo blocks, corners) land in ONE extended VMEM buffer at their
 static offsets, so the compute body reads a contiguous
 (19, bz+2K, by+2K, nx) slice with no `jnp.concatenate` assembly copies.
-(The earlier concat-assembled revision of this kernel measured 4,417
-MLUPS at 32x256x256/K=3 vs a 5,813-equivalent copy floor; the assembly
-copies — which the slab kernel hides under its larger per-block DMAs —
-were the prime suspect for that gap. The extended buffer's VMEM
-footprint is algebraically identical to the nine separate buffers', so
-the calibrated (bz, by) tables carry over unchanged.)
+(Measured outcome: the concat-assembled revision ran 4,417 MLUPS at
+32x256x256/K=3 vs a 5,831-equivalent copy floor; this DMA-direct
+rewrite gains only +1.5% (4,484; 4,805 at 128x256x256) — the ~23% gap
+to the floor is NOT assembly but exposed compute (halo-widened sub-step
+maths whose odd-offset y-sub-slices realign sublanes), which the slab
+kernel hides under its larger ~400 GB/s per-block DMAs while this
+pattern's ~295 GB/s stream cannot. Kept because it is strictly simpler
+and never slower. The extended buffer's VMEM footprint is algebraically
+identical to the nine separate buffers', so the calibrated (bz, by)
+tables carry over unchanged.)
 
 In-place ordering is row-granular: a z-row of blocks (all iy of one iz)
 is buffered in a 2-row VMEM block ring and flushed back into the input
@@ -79,7 +83,7 @@ def choose_config(nz: int, ny: int, nx: int, k_steps: int = 2,
     the largest y-block (fewest DMA issues) at bz=4, degrading bz before
     by (the output ring scales with bz x ny). Budget calibrated on
     TPU-measured compiles at 256x256 planes: by=64/k=3 (est ~122 MB)
-    compiles and is the measured best (4,417 in inplace.csv; probe
+    compiles and is the measured best (4,484 in inplace.csv; probe
     sweep: by=64 4,436 vs by=32 3,870 at K=3, by=64 4,128 vs by=32
     3,845 at K=2); by=128/k=2 (est ~158 MB) is past the 128 MB VMEM."""
     k = k_steps
@@ -124,7 +128,7 @@ def choose_k(nz: int, ny: int, nx: int, num_steps: int, max_k: int = 3
     """('slab'|'blocked', bz, by, k): deepest TPU-validated K (<= max_k)
     dividing num_steps with a feasible in-place config. K=3 is the
     measured production depth (slab 6,386 vs 5,131 MLUPS at K=2 at the
-    bench shape; blocked 4,417 at 32x256x256 vs 4,128 probed at K=2 —
+    bench shape; blocked 4,484 at 32x256x256 vs 4,128 probed at K=2 —
     inplace.csv); K=4 fails to compile on both kernels (VMEM)."""
     for k in range(min(max_k, 3), 0, -1):
         if num_steps % k:
