@@ -165,35 +165,38 @@ def main():
             out.write(row + "\n")
             out.flush()
 
-        # blocked kernel's copy floor at the first blocked shape (its
-        # full path IS the stream — no separate stream_only mode)
+        # blocked kernel's diagnostic modes at the first blocked shape:
+        # copy (DMAs only) / stream_only (+ sub-slice realignment and
+        # x-rolls) / full (+ BGK maths) — attributes the copy-vs-full gap
         nz, ny, nx = 32, 256, 256
         cells = nz * ny * nx
         f, mask_f = _case(nz, ny, nx)
         _, cbz, cby, ck = blk.choose_k(nz, ny, nx, iters)
 
-        @functools.partial(jax.jit, static_argnames=("num_steps",))
-        def _blk_copy(f, mask_f, *, num_steps):
+        @functools.partial(jax.jit,
+                           static_argnames=("num_steps", "mode"))
+        def _blk_mode(f, mask_f, *, num_steps, mode):
             def body(carry, _):
                 f_new, tots = blk.stepk(
                     carry, mask_f, k_steps=ck, omega=1.85, density=0.1,
                     accel=0.005, accel_plane=nz - 2, bz=cbz, by=cby,
-                    mode="copy")
+                    mode=mode)
                 return f_new, tots
 
             return jax.lax.scan(body, f, None, length=num_steps // ck)
 
-        def fn_copy(n):
-            return _blk_copy(f, mask_f, num_steps=n)
+        for mode in ("copy", "stream_only", "full"):
+            def fn_mode(n, mode=mode):
+                return _blk_mode(f, mask_f, num_steps=n, mode=mode)
 
-        dt = _time_best_of(fn_copy, iters)
-        mlups = iters * cells / dt / 1e6
-        gbps = mlups * 1e6 * (2 * 19 * 4 / ck) / 1e9
-        row = (f"blocked_mode_copy_bz{cbz}by{cby}_k{ck},{platform},"
-               f"{nz}x{ny}x{nx},{iters},{dt:.4f},{mlups:.1f},{gbps:.0f}")
-        print(row, flush=True)
-        out.write(row + "\n")
-        out.flush()
+            dt = _time_best_of(fn_mode, iters)
+            mlups = iters * cells / dt / 1e6
+            gbps = mlups * 1e6 * (2 * 19 * 4 / ck) / 1e9
+            row = (f"blocked_mode_{mode}_bz{cbz}by{cby}_k{ck},{platform},"
+                   f"{nz}x{ny}x{nx},{iters},{dt:.4f},{mlups:.1f},{gbps:.0f}")
+            print(row, flush=True)
+            out.write(row + "\n")
+            out.flush()
     print(f"wrote {out_path}")
 
 

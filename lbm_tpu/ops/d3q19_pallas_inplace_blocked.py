@@ -22,16 +22,18 @@ State assembly is DMA-direct: all nine input regions (center, z-halos,
 8-row y-halo blocks, corners) land in ONE extended VMEM buffer at their
 static offsets, so the compute body reads a contiguous
 (19, bz+2K, by+2K, nx) slice with no `jnp.concatenate` assembly copies.
-(Measured outcome: the concat-assembled revision ran 4,417 MLUPS at
-32x256x256/K=3 vs a 5,831-equivalent copy floor; this DMA-direct
-rewrite gains only +1.5% (4,484; 4,805 at 128x256x256) — the ~23% gap
-to the floor is NOT assembly but exposed compute (halo-widened sub-step
-maths whose odd-offset y-sub-slices realign sublanes), which the slab
-kernel hides under its larger ~400 GB/s per-block DMAs while this
-pattern's ~295 GB/s stream cannot. Kept because it is strictly simpler
-and never slower. The extended buffer's VMEM footprint is algebraically
-identical to the nine separate buffers', so the calibrated (bz, by)
-tables carry over unchanged.)
+(Measured outcome: perf-neutral within the ±1% run-to-run variance —
+4,417 concat-assembled vs 4,484/4,432 DMA-direct at 32x256x256/K=3,
+against a 5,820-equivalent copy floor. The three-mode diagnostic
+attributes the whole ~24% copy-vs-full gap to the BGK collision maths:
+copy 5,820 == stream_only 5,818 vs full 4,432 — streaming slices and
+x-rolls are free, and the slab kernel hides the same arithmetic under
+its ~400 GB/s DMAs while this geometry's VPU throughput on ~70-row
+sub-blocks cannot keep up even with the slower 295 GB/s stream. Jointly
+DMA+VPU-bound; structural. This rewrite is kept because it is strictly
+simpler and never slower. The extended buffer's VMEM footprint is
+algebraically identical to the nine separate buffers', so the
+calibrated (bz, by) tables carry over unchanged.)
 
 In-place ordering is row-granular: a z-row of blocks (all iy of one iz)
 is buffered in a 2-row VMEM block ring and flushed back into the input
@@ -83,7 +85,7 @@ def choose_config(nz: int, ny: int, nx: int, k_steps: int = 2,
     the largest y-block (fewest DMA issues) at bz=4, degrading bz before
     by (the output ring scales with bz x ny). Budget calibrated on
     TPU-measured compiles at 256x256 planes: by=64/k=3 (est ~122 MB)
-    compiles and is the measured best (4,484 in inplace.csv; probe
+    compiles and is the measured best (4,411 in inplace.csv; probe
     sweep: by=64 4,436 vs by=32 3,870 at K=3, by=64 4,128 vs by=32
     3,845 at K=2); by=128/k=2 (est ~158 MB) is past the 128 MB VMEM."""
     k = k_steps
@@ -128,7 +130,7 @@ def choose_k(nz: int, ny: int, nx: int, num_steps: int, max_k: int = 3
     """('slab'|'blocked', bz, by, k): deepest TPU-validated K (<= max_k)
     dividing num_steps with a feasible in-place config. K=3 is the
     measured production depth (slab 6,386 vs 5,131 MLUPS at K=2 at the
-    bench shape; blocked 4,484 at 32x256x256 vs 4,128 probed at K=2 —
+    bench shape; blocked 4,411 at 32x256x256 vs 4,128 probed at K=2 —
     inplace.csv); K=4 fails to compile on both kernels (VMEM)."""
     for k in range(min(max_k, 3), 0, -1):
         if num_steps % k:
@@ -365,9 +367,16 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
                 jax.lax.broadcasted_iota(jnp.int32, (n_z, 1, 1), 0)
             amask_j = (jnp.mod(planes_j, global_nz) == accel_plane
                        ).astype(dt)
-            state, u = d3q19.collide_fields(
-                streamed(state, n_z, n_y), mask_j, amask_j,
-                omega=omega, density=density, accel=accel)
+            if mode == "stream_only":
+                # streaming slices + x-rolls without the BGK maths:
+                # attributes the copy-vs-full gap between the sub-slice
+                # realignment and the collision arithmetic
+                state = jnp.stack(streamed(state, n_z, n_y))
+                u = state[0]
+            else:
+                state, u = d3q19.collide_fields(
+                    streamed(state, n_z, n_y), mask_j, amask_j,
+                    omega=omega, density=density, accel=accel)
             interior = u[k - jj: k - jj + bz, k - jj: k - jj + by]
             band_planes = iz * bz + jax.lax.broadcasted_iota(
                 jnp.int32, (bz, 1, 1), 0)
