@@ -68,15 +68,16 @@ def _case(nz, ny, nx):
     return f, jnp.asarray(mask).astype(f.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps", "mode", "nz"))
-def _run_mode(f, mask_f, *, num_steps, mode, nz):
+@functools.partial(jax.jit,
+                   static_argnames=("num_steps", "mode", "nz", "k"))
+def _run_mode(f, mask_f, *, num_steps, mode, nz, k=2):
     def body(carry, _):
         f_new, tots = d3q19_pallas_inplace.stepk(
-            carry, mask_f, k_steps=2, omega=1.85, density=0.1, accel=0.005,
+            carry, mask_f, k_steps=k, omega=1.85, density=0.1, accel=0.005,
             accel_plane=nz - 2, bz=4, mode=mode)
         return f_new, tots
 
-    f_fin, tots = jax.lax.scan(body, f, None, length=num_steps // 2)
+    f_fin, tots = jax.lax.scan(body, f, None, length=num_steps // k)
     return f_fin, tots
 
 
@@ -149,21 +150,27 @@ def main():
                 out.flush()
 
         # diagnostic modes at the bench shape: where is the new wall?
+        # K=2 (the original floor proof) AND K=3 (the production depth —
+        # "slab at its copy floor" must hold at the config bench.py runs)
         nz, ny, nx = BENCH_SHAPE
         cells = nz * ny * nx
         f, mask_f = _case(nz, ny, nx)
-        for mode in ("copy", "stream_only", "full"):
-            def fn(n, mode=mode):
-                return _run_mode(f, mask_f, num_steps=n, mode=mode, nz=nz)
+        for k in (2, 3):
+            for mode in ("copy", "stream_only", "full"):
+                def fn(n, mode=mode, k=k):
+                    return _run_mode(f, mask_f, num_steps=n, mode=mode,
+                                     nz=nz, k=k)
 
-            dt = _time_best_of(fn, iters)
-            mlups = iters * cells / dt / 1e6
-            gbps = mlups * 1e6 * (2 * 19 * 4 / 2) / 1e9
-            row = (f"inplace_mode_{mode},{platform},{nz}x{ny}x{nx},{iters},"
-                   f"{dt:.4f},{mlups:.1f},{gbps:.0f}")
-            print(row, flush=True)
-            out.write(row + "\n")
-            out.flush()
+                dt = _time_best_of(fn, iters)
+                mlups = iters * cells / dt / 1e6
+                gbps = mlups * 1e6 * (2 * 19 * 4 / k) / 1e9
+                tag = "" if k == 2 else f"_k{k}"
+                row = (f"inplace_mode_{mode}{tag},{platform},"
+                       f"{nz}x{ny}x{nx},{iters},"
+                       f"{dt:.4f},{mlups:.1f},{gbps:.0f}")
+                print(row, flush=True)
+                out.write(row + "\n")
+                out.flush()
 
         # blocked kernel's diagnostic modes at the first blocked shape:
         # copy (DMAs only) / stream_only (+ sub-slice realignment and
