@@ -15,10 +15,11 @@ rate. `d3q19_pallas_inplace` applies the scheme; this script records
      d3q19_pallas_inplace_blocked.choose_k (slab K=3 where feasible, the
      blocked in-place kernel beyond),
   2. diagnostic modes (copy / stream_only / full) of the slab in-place
-     kernel at the bench shape, to locate the new wall, and
-  3. the blocked in-place kernel's copy floor at 32x256x256 (the blocked
-     kernel has no separate stream_only mode — its full path IS the
-     stream; measured full 4,128 vs copy 4,709 at K=2).
+     kernel at the bench shape, at K=2 AND the production depth K=3, to
+     locate the new wall (K=2: at the copy floor; K=3: within ~4%), and
+  3. the same three-mode triple for the blocked in-place kernel at
+     32x256x256/K=3 — copy == stream_only >> full attributes its ~24%
+     gap entirely to the BGK arithmetic (see description.md).
 
 Timing: best-of-3 over a 600-iter window (steady-state; see sizes.py).
 

@@ -182,7 +182,7 @@ def simulate(
     engine='pallas-inplace' the explicitly pipelined aliased family
     (one HBM stream: the z-slab kernel where its working set fits —
     6,386 vs 3,253 MLUPS at the bench shape on v5e at K=3 — and the
-    (z, y)-blocked d3q19_pallas_inplace_blocked beyond, 4,411 vs 2,994
+    (z, y)-blocked d3q19_pallas_inplace_blocked beyond, 4,417 vs 2,994
     at 32x256x256; an explicit k_steps is honoured as an upper bound,
     degraded to the deepest feasible K — lbm3d-perf/inplace.csv).
     k_steps=None picks each engine's measured-best depth (3 for the

@@ -85,7 +85,7 @@ def choose_config(nz: int, ny: int, nx: int, k_steps: int = 2,
     the largest y-block (fewest DMA issues) at bz=4, degrading bz before
     by (the output ring scales with bz x ny). Budget calibrated on
     TPU-measured compiles at 256x256 planes: by=64/k=3 (est ~122 MB)
-    compiles and is the measured best (4,411 in inplace.csv; probe
+    compiles and is the measured best (4,417 in inplace.csv; probe
     sweep: by=64 4,436 vs by=32 3,870 at K=3, by=64 4,128 vs by=32
     3,845 at K=2); by=128/k=2 (est ~158 MB) is past the 128 MB VMEM."""
     k = k_steps
@@ -130,7 +130,7 @@ def choose_k(nz: int, ny: int, nx: int, num_steps: int, max_k: int = 3
     """('slab'|'blocked', bz, by, k): deepest TPU-validated K (<= max_k)
     dividing num_steps with a feasible in-place config. K=3 is the
     measured production depth (slab 6,386 vs 5,131 MLUPS at K=2 at the
-    bench shape; blocked 4,411 at 32x256x256 vs 4,128 probed at K=2 —
+    bench shape; blocked 4,417 at 32x256x256 vs 4,128 probed at K=2 —
     inplace.csv); K=4 fails to compile on both kernels (VMEM)."""
     for k in range(min(max_k, 3), 0, -1):
         if num_steps % k:

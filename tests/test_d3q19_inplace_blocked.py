@@ -127,7 +127,7 @@ def test_choose_k_production_configs():
     # bench shape: slab K=3 (6,386 vs 5,131 MLUPS at K=2 — inplace.csv)
     assert blk.choose_k(64, 128, 256, 600) == ("slab", 4, None, 3)
     # 256^2-plane shapes: blocked, largest y-block in budget (by=64 beat
-    # by=32 4,436 vs 3,870 at K=3 on TPU probes; 4,411/4,793 in the CSV)
+    # by=32 4,436 vs 3,870 at K=3 on TPU probes; 4,417/4,792 in the CSV)
     assert blk.choose_k(32, 256, 256, 600) == ("blocked", 4, 64, 3)
     assert blk.choose_k(128, 256, 256, 600) == ("blocked", 4, 64, 3)
     # K honoured as an upper bound; step counts gate divisibility

@@ -14,8 +14,6 @@ cannot silently regress:
 import csv
 import os
 
-import pytest
-
 HERE = os.path.dirname(__file__)
 EXP = os.path.join(HERE, "..", "experiments")
 
@@ -50,10 +48,15 @@ def test_compile_time_axis_recorded_and_flat():
     rows = _read("should-i-use-all-chips", "compile_time.csv")
     devs = {int(r["devices"]) for r in rows}
     assert {1, 2, 4, 8} <= devs
-    secs = [float(r["total_seconds"]) for r in rows]
     # SPMD: one program regardless of mesh size — nothing like the
-    # reference's 16x compile-time growth (5.2 s -> 84 s at 16 IPUs)
-    assert max(secs) < 3 * min(secs)
+    # reference's 16x compile-time growth (5.2 s -> 84 s at 16 IPUs).
+    # Flatness is per platform (tunnel compiles are slower than host).
+    by_platform = {}
+    for r in rows:
+        by_platform.setdefault(r["platform"], []).append(
+            float(r["total_seconds"]))
+    for platform, secs in by_platform.items():
+        assert max(secs) < 3 * min(secs), (platform, secs)
 
 
 def test_no_below_noise_rows_remain():
