@@ -452,6 +452,16 @@ def choose_engine(h: int, w: int) -> str:
       two (~613 vs ~320 GB/s measured floor) and near-total DMA/compute
       overlap — 1024^2 12,114 MLUPS (auto 11,886), 2048^2 14,238 (auto
       11,377), 4096^2 15,186 (auto 11,606), 8192^2 14,369 (auto 10,548).
+
+    Feasibility overrides the measured ranking on degenerate heights: the
+    in-place pipeline needs >= 2 bands of a multiple-of-8 height (its
+    epilogue drains bands nb-2 and nb-1), so h must be a multiple of 8
+    and >= 16; a single-band h == 8 grid still runs on the two-stream
+    'pallas' engine; anything not a multiple of 8 runs on 'jax'.
     """
-    del h, w  # in-place wins at every measured size; keep the signature
+    del w  # width never constrains engine choice; keep the signature
+    if h % 8:
+        return "jax"
+    if h < 16:
+        return "pallas"
     return "pallas-inplace"

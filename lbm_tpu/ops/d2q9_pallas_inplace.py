@@ -431,6 +431,12 @@ def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,
              k_steps: int | None = None, **kw):
     """Reference-semantics full simulation on the in-place engine. Same
     contract as d2q9_pallas.simulate."""
+    if params.ny % 8 or params.ny < 16:
+        raise ValueError(
+            f"the in-place engine needs ny to be a multiple of 8 with at "
+            f"least 2 bands (ny >= 16); got ny={params.ny} — use "
+            "engine='pallas' (any multiple-of-8 ny) or 'jax' "
+            "(d2q9_pallas.choose_engine routes these automatically)")
     aw = d2q9.AccelWeights.from_params(params)
     accel_row = params.ny - 2
     obstacle_mask = jnp.asarray(obstacle_mask)
@@ -443,7 +449,7 @@ def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array,
         preferred = choose_config(params.ny, params.nx)[1]
         k_steps = next(
             (kk for kk in (preferred, 4, 2, 1)
-             if params.max_iters % kk == 0 and params.ny >= 16),
+             if params.max_iters % kk == 0),
             1,
         )
     f_final, tot_u = run(

@@ -183,8 +183,8 @@ def simulate(
     (one HBM stream: the z-slab kernel where its working set fits —
     6,386 vs 3,253 MLUPS at the bench shape on v5e at K=3 — and the
     (z, y)-blocked d3q19_pallas_inplace_blocked beyond, 4,417 vs 2,994
-    at 32x256x256; an explicit k_steps is honoured as an upper bound,
-    degraded to the deepest feasible K — lbm3d-perf/inplace.csv).
+    at 32x256x256; an explicit k_steps is honoured exactly — it raises
+    if infeasible, like every other engine — lbm3d-perf/inplace.csv).
     k_steps=None picks each engine's measured-best depth (3 for the
     in-place family, 2 otherwise);
     engine='sharded' runs the jax step on a (z, y)-sharded mesh with
@@ -194,7 +194,8 @@ def simulate(
         raise ValueError(
             f"overlap=True is only implemented for engine='sharded-pallas' "
             f"(ghost-plane exchange/compute overlap), not engine={engine!r}")
-    if k_steps is None:
+    auto_k = k_steps is None
+    if auto_k:
         k_steps = 3 if engine == "pallas-inplace" else 2
     if engine == "native":
         from . import d3q19_native
@@ -261,6 +262,13 @@ def simulate(
 
         kind, bz, by, k = d3q19_pallas_inplace_blocked.choose_k(
             nz, ny, nx, num_steps, max_k=k_steps)
+        if not auto_k and k != k_steps:
+            # every other engine honours an explicit k_steps exactly or
+            # raises — never silently run a benchmark at a different K
+            raise ValueError(
+                f"k_steps={k_steps} has no feasible in-place config for "
+                f"{nz}x{ny}x{nx} (deepest feasible: K={k}); pass "
+                "k_steps=None to auto-pick or use engine='pallas'")
         if kind == "slab":
             f_final, tot = d3q19_pallas_inplace.run(
                 f, obstacle_mask.astype(f.dtype), num_steps=num_steps,

@@ -309,6 +309,10 @@ def stepk(
         bz = max(k_steps, 4)
         while nz % bz:
             bz //= 2
+        if bz < k_steps and nz % k_steps == 0:
+            # halving landed below K but nz admits bz == K (the same
+            # fallback pick_engine carries) — e.g. nz=6, k_steps=3
+            bz = k_steps
         if nz // bz < 2:
             bz = max(b for b in range(1, nz) if nz % b == 0 and nz // b >= 2)
     if interpret is None:

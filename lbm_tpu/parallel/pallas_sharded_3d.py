@@ -51,8 +51,15 @@ def _local_stepk(local_engine: str, k_steps: int, bz):
 
     def stepk(ext, mask_ext_f, **kw):
         _, nz_e, ny, nx = ext.shape
-        kind, pbz, pby = d3q19_pallas_inplace_blocked.pick_engine(
-            nz_e, ny, nx, k_steps)
+        try:
+            kind, pbz, pby = d3q19_pallas_inplace_blocked.pick_engine(
+                nz_e, ny, nx, k_steps)
+        except ValueError:
+            # no feasible in-place config for this ghost-extended shard
+            # shape (e.g. prime extended nz at the requested K) — fall
+            # back to the two-stream kernel: bit-identical arithmetic,
+            # so shard results are unchanged, only slower
+            return d3q19_pallas.stepk(ext, mask_ext_f, bz=bz, **kw)
         if kind == "slab":
             return d3q19_pallas_inplace.stepk(
                 ext, mask_ext_f, bz=pbz if bz is None else bz, **kw)

@@ -205,3 +205,29 @@ def test_model_auto_engine_resolves_to_inplace():
                                         num_steps=8)
     np.testing.assert_array_equal(auto.av_vels, explicit.av_vels)
     np.testing.assert_array_equal(auto.f_final, explicit.f_final)
+
+
+def test_choose_engine_degenerate_heights():
+    """Feasibility overrides the ranking (round-4 advisor fix): the
+    in-place pipeline needs >= 2 multiple-of-8 bands, so ny=8 routes to
+    the two-stream 'pallas' engine and non-multiple-of-8 heights to
+    'jax' instead of a downstream ValueError."""
+    assert d2q9_pallas.choose_engine(8, 128) == "pallas"
+    assert d2q9_pallas.choose_engine(12, 128) == "jax"
+    assert d2q9_pallas.choose_engine(16, 128) == "pallas-inplace"
+
+
+def test_simulate_rejects_infeasible_height_early():
+    import dataclasses
+
+    p = Params(nx=128, ny=8, max_iters=4, reynolds_dim=128,
+               density=0.1, accel=0.005, omega=1.85)
+    f = jnp.asarray(np.full((9, 8, 128), 0.1 / 9, np.float32))
+    mask = jnp.zeros((8, 128), bool)
+    with pytest.raises(ValueError, match="in-place engine needs ny"):
+        d2q9_pallas_inplace.simulate(p, f, mask)
+    p12 = dataclasses.replace(p, ny=12)
+    with pytest.raises(ValueError, match="in-place engine needs ny"):
+        d2q9_pallas_inplace.simulate(
+            p12, jnp.asarray(np.full((9, 12, 128), 0.1 / 9, np.float32)),
+            jnp.zeros((12, 128), bool))

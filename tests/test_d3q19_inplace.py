@@ -121,3 +121,23 @@ def test_checkpoint_chunking_bit_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(f_ck), np.asarray(direct[0]))
     np.testing.assert_array_equal(np.asarray(av_ck, np.float64),
                                   np.asarray(direct[1], np.float64))
+
+
+def test_default_bz_lands_feasible_on_awkward_nz():
+    """Round-4 advisor fix: nz=6 at k_steps=3 used to halve the default
+    bz down to 2 (< K) and raise; the nz % k fallback now lands bz=3."""
+    f, mask_f = make_case(6, 8, 128)
+    fd, td = d3q19_pallas_inplace.stepk(
+        f, mask_f, k_steps=3, accel_plane=4, **KW)  # bz=None default
+    fe, te = d3q19_pallas_inplace.stepk(
+        f, mask_f, k_steps=3, accel_plane=4, bz=3, **KW)
+    assert np.array_equal(np.asarray(fd), np.asarray(fe))
+    assert np.array_equal(np.asarray(td), np.asarray(te))
+
+
+def test_simulate_rejects_infeasible_explicit_k():
+    """Round-4 advisor fix: an explicit k_steps that choose_k cannot honour
+    raises instead of silently benchmarking at a shallower K."""
+    with pytest.raises(ValueError, match="no feasible in-place config"):
+        d3q19.simulate(8, 8, 128, num_steps=4,
+                       engine="pallas-inplace", k_steps=3)

@@ -155,3 +155,25 @@ def test_rejects_too_deep_k():
             mesh, k_steps=9, omega=1.85, accel_w1=0.0, accel_w2=0.0,
             accel_row=1, ny=64,
         )
+
+
+def test_local_stepk_falls_back_to_two_stream():
+    """Round-4 advisor fix: when pick_engine finds no feasible in-place
+    config for a ghost-extended shard shape (nz=4 at K=4: single slab,
+    no blocked bz), _local_stepk must fall back to the two-stream kernel
+    (bit-identical arithmetic) instead of raising."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops import d3q19_pallas
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(
+        (0.1 / 19 + 0.001 * rng.random((19, 4, 8, 128))).astype(np.float32))
+    mask_f = jnp.zeros((4, 8, 128), jnp.float32)
+    kw = dict(omega=1.85, density=0.1, accel=0.005, accel_plane=2)
+    stepk = pallas_sharded_3d._local_stepk("inplace", 4, None)
+    fi, ti = stepk(f, mask_f, k_steps=4, **kw)
+    fa, ta = d3q19_pallas.stepk(f, mask_f, k_steps=4, **kw)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(fa))
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ta))
