@@ -297,6 +297,33 @@ def run(
     return jax.lax.scan(body, f, None, length=num_steps, unroll=unroll)
 
 
+# Empirical TPU-worker stability fence (experiments/large-grid): a single
+# 2000-step scan of the fused jnp.roll graph at 8192^2 f32 crashes the v5e
+# worker ("UNAVAILABLE: TPU worker process crashed" — the 2.4 GB/buffer
+# transient footprint is near the HBM edge), while 496-step dispatches of
+# the SAME body run clean. simulate() chunks long runs at/above this cell
+# count into <= CRASH_FENCE_STEPS dispatches; the per-step maths and scan
+# body are identical, only the host re-dispatches between chunks.
+# Override (at your own risk / on other hardware): LBM_UNFENCED_SCAN=1.
+CRASH_FENCE_CELLS = 8192 * 8192
+CRASH_FENCE_STEPS = 496
+
+
+def _fence_chunks(num_steps: int, cells: int, backend: str) -> list[int]:
+    """Dispatch lengths for simulate(): [num_steps] when no fence applies,
+    else <= CRASH_FENCE_STEPS pieces (repro: experiments/large-grid/
+    crash_repro_8192.py)."""
+    import os
+
+    if (cells < CRASH_FENCE_CELLS or num_steps <= CRASH_FENCE_STEPS
+            or backend != "tpu" or os.environ.get("LBM_UNFENCED_SCAN") == "1"):
+        return [num_steps]
+    n_chunks = -(-num_steps // CRASH_FENCE_STEPS)
+    base = num_steps // n_chunks
+    rem = num_steps - base * n_chunks
+    return [base + (1 if i < rem else 0) for i in range(n_chunks)]
+
+
 def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array, *, unroll: int = 1):
     """Full reference-semantics simulation: first-accelerate, then max_iters
     fused steps; returns (f_final, av_vels) with av_vels already divided by
@@ -308,16 +335,22 @@ def simulate(params: Params, f: jax.Array, obstacle_mask: jax.Array, *, unroll: 
         jnp.asarray(f), obstacle_mask, accel_row=accel_row, accel_w1=aw.w1, accel_w2=aw.w2
     )
     amask = accel_row_mask(params.ny, params.nx, accel_row, dtype=f.dtype)
-    f_final, tot_u = run(
-        f,
-        obstacle_mask,
-        amask,
-        num_steps=params.max_iters,
-        omega=params.omega,
-        accel_w1=aw.w1,
-        accel_w2=aw.w2,
-        unroll=unroll,
-    )
+    tot_parts = []
+    for n in _fence_chunks(params.max_iters, params.ny * params.nx,
+                           jax.default_backend()):
+        f, tot_u = run(
+            f,
+            obstacle_mask,
+            amask,
+            num_steps=n,
+            omega=params.omega,
+            accel_w1=aw.w1,
+            accel_w2=aw.w2,
+            unroll=unroll,
+        )
+        tot_parts.append(tot_u)
+    f_final = f
+    tot_u = tot_parts[0] if len(tot_parts) == 1 else jnp.concatenate(tot_parts)
     num_free = jnp.asarray((~jnp.asarray(obstacle_mask)).sum(), dtype=f.dtype)
     av_vels = tot_u / num_free
     return f_final, av_vels

@@ -76,13 +76,45 @@ def dump_hlo(fn, *args, path: str | Path | None = None, optimized: bool = False,
     return text
 
 
-def enable_compilation_cache(cache_dir: str | Path) -> None:
+def host_fingerprint() -> str:
+    """Short stable hash of the host's CPU feature set and model name.
+
+    CPU-backend cache entries are AOT machine code whose feature baseline
+    (e.g. ``+prefer-no-gather``) is NOT part of JAX's cache key; loading an
+    artifact compiled on a host with different features emits
+    ``cpu_aot_loader.cc`` warnings and can SIGILL (observed when this
+    working tree migrated hosts between rounds, MULTICHIP_r03). Keying the
+    cache directory by this fingerprint makes a migrated tree start cold
+    instead of loading foreign machine code."""
+    import hashlib
+    import platform
+    import re
+
+    try:
+        text = Path("/proc/cpuinfo").read_text()
+        flags = re.search(r"^(?:flags|Features)\s*:\s*(.*)$", text, re.M)
+        model = re.search(r"^model name\s*:\s*(.*)$", text, re.M)
+        ident = " ".join(sorted(flags.group(1).split())) if flags else ""
+        ident += "|" + (model.group(1) if model else "")
+    except OSError:
+        ident = platform.processor() or platform.machine()
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
+def enable_compilation_cache(cache_dir: str | Path,
+                             per_host: bool = True) -> None:
     """Persistent on-disk compilation cache: compiled executables survive
     process restarts (the AOT serialize/deserialize analogue).
+
+    per_host=True (default) namespaces the directory by `host_fingerprint`
+    so artifacts AOT-compiled for another machine's CPU features are never
+    loaded (they would risk SIGILL — see host_fingerprint).
 
     Re-pointing an already-initialised cache needs an explicit reset —
     this JAX version keeps the first directory otherwise (writes silently
     keep landing in the old one)."""
+    if per_host:
+        cache_dir = Path(cache_dir) / f"host-{host_fingerprint()}"
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     new = os.path.realpath(str(cache_dir))
     prev = jax.config.jax_compilation_cache_dir

@@ -230,3 +230,27 @@ class TestRun:
         np.testing.assert_allclose(
             state.total_density(np.asarray(f_final)), state.total_density(f0), rtol=1e-5
         )
+
+
+def test_crash_fence_chunks():
+    """The 8192^2 TPU-worker crash fence (experiments/large-grid/
+    crash_repro_8192.py): long single-dispatch scans at >= 8192^2 cells on
+    TPU are split into <= CRASH_FENCE_STEPS dispatches; smaller grids,
+    short runs and non-TPU backends are untouched."""
+    import os
+
+    from lbm_tpu.ops.d2q9 import (CRASH_FENCE_CELLS, CRASH_FENCE_STEPS,
+                                  _fence_chunks)
+
+    big = CRASH_FENCE_CELLS
+    assert _fence_chunks(2000, big, "tpu") == [500, 500, 500, 500]
+    chunks = _fence_chunks(2001, big, "tpu")
+    assert sum(chunks) == 2001 and max(chunks) <= CRASH_FENCE_STEPS
+    assert _fence_chunks(496, big, "tpu") == [496]
+    assert _fence_chunks(2000, big - 1, "tpu") == [2000]
+    assert _fence_chunks(2000, big, "cpu") == [2000]
+    os.environ["LBM_UNFENCED_SCAN"] = "1"
+    try:
+        assert _fence_chunks(2000, big, "tpu") == [2000]
+    finally:
+        del os.environ["LBM_UNFENCED_SCAN"]

@@ -65,6 +65,14 @@ def test_dryrun_multichip_exits_zero_in_driver_env():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "pallas_sharded" in proc.stdout
+    # round-4 hardening: no REAL machine-feature mismatches may survive
+    # (XLA's +prefer-* tuning pseudo-features warn benignly on same-host
+    # loads; anything else is foreign machine code = SIGILL risk,
+    # MULTICHIP_r03)
+    import __graft_entry__ as g
+
+    assert g._real_aot_feature_mismatches(proc.stderr) == [], \
+        proc.stderr[-2000:]
 
 
 def test_dryrun_multichip_exits_zero_in_clean_env():
@@ -77,6 +85,10 @@ def test_dryrun_multichip_exits_zero_in_clean_env():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "pallas_sharded" in proc.stdout
+    import __graft_entry__ as g
+
+    assert g._real_aot_feature_mismatches(proc.stderr) == [], \
+        proc.stderr[-2000:]
 
 
 def test_dryrun_multichip_in_process_with_forced_devices():
@@ -96,3 +108,21 @@ def test_entry_is_jittable():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_real_aot_feature_mismatch_classifier():
+    """+prefer-* tuning pseudo-features are benign same-host noise; any
+    other cpu_aot_loader feature mismatch is foreign machine code."""
+    import __graft_entry__ as g
+
+    benign = ("E0818 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result. "
+              "Target machine feature +prefer-no-gather is not  supported "
+              "on the host machine.\n"
+              "E0818 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result. "
+              "Target machine feature +prefer-no-scatter is not supported.")
+    assert g._real_aot_feature_mismatches(benign) == []
+    real = benign + ("\nE0818 cpu_aot_loader.cc:210] Loading XLA:CPU AOT "
+                     "result. Target machine feature +avx512bf16 is not "
+                     " supported on the host machine.")
+    assert g._real_aot_feature_mismatches(real) == ["avx512bf16"]
+    assert g._real_aot_feature_mismatches("") == []

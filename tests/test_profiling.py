@@ -1,5 +1,7 @@
 """Profiling/AOT utilities (the observability subsystem)."""
 
+import re
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,3 +79,17 @@ def test_select_platform_cpu_and_mismatch(monkeypatch):
     with pytest.raises(RuntimeError, match="resolved"):
         profiling.select_platform("tpu")
     assert "tpu" not in str(jax.config.jax_platforms)
+
+
+def test_cache_dir_is_host_keyed():
+    """Round-4 fix for the MULTICHIP_r03 hazard: CPU AOT cache artifacts
+    embed host machine features JAX does not key on; the cache dir must be
+    namespaced by host_fingerprint so a migrated working tree never loads
+    foreign machine code."""
+    import jax
+
+    fp = profiling.host_fingerprint()
+    assert re.fullmatch(r"[0-9a-f]{12}", fp)
+    assert fp == profiling.host_fingerprint()  # stable within a host
+    cur = jax.config.jax_compilation_cache_dir
+    assert cur and f"host-{fp}" in cur
