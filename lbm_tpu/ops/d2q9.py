@@ -119,15 +119,19 @@ def collide_fields(
     out8 = s8 * one_minus_omega + ld2 * ((-4.5 * u_d) * (two_thirds - u_d) + c_sq)
 
     # fold the accelerated-row body force into the collided state
-    # (main/LastChance.cpp:253-261)
-    aw1 = accel_mask * accel_w1
-    aw2 = accel_mask * accel_w2
-    out1 = out1 + aw1
-    out3 = out3 - aw1
-    out5 = out5 + aw2
-    out6 = out6 - aw2
-    out7 = out7 - aw2
-    out8 = out8 + aw2
+    # (main/LastChance.cpp:253-261). accel_mask=None skips the force ops
+    # entirely — used by the Pallas engines' accel-free-band fast path
+    # (the adds are exact no-ops when the mask is all-zero, so skipping
+    # is bit-identical on physical states)
+    if accel_mask is not None:
+        aw1 = accel_mask * accel_w1
+        aw2 = accel_mask * accel_w2
+        out1 = out1 + aw1
+        out3 = out3 - aw1
+        out5 = out5 + aw2
+        out6 = out6 - aw2
+        out7 = out7 - aw2
+        out8 = out8 + aw2
 
     # obstacle cells: pure bounce-back of the streamed speeds
     # (main/LastChance.cpp:213-223)

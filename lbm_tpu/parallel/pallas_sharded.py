@@ -197,11 +197,119 @@ def make_chunk_fn(
     )
 
 
+def make_overlap_chunk_fn(
+    mesh: Mesh,
+    *,
+    k_steps: int,
+    omega: float,
+    accel_w1: float,
+    accel_w2: float,
+    accel_row: int,
+    ny: int,
+    band: int | None = None,
+    interpret: bool | None = None,
+    local_engine: str = "inplace",
+):
+    """Row-exchange/compute-overlapped variant of make_chunk_fn — the 2-D
+    instantiation of pallas_sharded_3d.make_overlap_chunk_fn (reference
+    motivation: exchange grows to ~= compute at scale,
+    /root/reference/experiments/gaussian-blur-scaling/exchange-vs-compute.csv
+    and HaloRegionApproaches.cpp:359-519).
+
+    A K-step update of owned row j reads rows [j-K, j+K], so owned rows
+    [GHOST, h-GHOST) never read a row ghost: their kernel is issued
+    straight after the ghost ppermutes with NO data dependence on them,
+    letting XLA move the ghost bands over ICI while the bulk computes.
+    Two 3*GHOST-row boundary kernels (one ghost band + 2 owned bands in,
+    the GHOST edge rows out) run once the ghosts land. On a 2-D mesh the
+    column wave still completes first (the 2-wave corner scheme needs the
+    column-extended array before the row exchange) — only the row wave,
+    the dominant share in the exchange model, is overlapped. Physics is
+    identical to the fused path: same per-cell arithmetic, and the three
+    kernels' Sum|u| valid ranges partition the owned rows exactly —
+    the STATE is bit-identical to the fused path (pinned by
+    tests/test_pallas_sharded.py); the Sum|u| diagnostic is
+    reduction-order-equal only (three partial sums instead of one,
+    f32-ulp differences).
+
+    Requires evenly-sharded rows (no pad) and h >= 3*GHOST."""
+    if not 1 <= k_steps <= GHOST:
+        raise ValueError(f"k_steps must be in 1..{GHOST}")
+    n_rows, n_cols = mesh.devices.shape
+    h, pad_rows = plan_rows(ny, n_rows)
+    if pad_rows:
+        raise ValueError(
+            "overlap=True supports evenly-sharded rows only (no pad); "
+            f"ny={ny} on {n_rows} row-shards pads {pad_rows} rows — use "
+            "the fused path")
+    if h < 3 * GHOST:
+        raise ValueError(
+            f"overlap=True needs >= {3 * GHOST} rows per shard (h={h}): "
+            "thinner shards have no ghost-independent interior to overlap")
+    gc = GHOST_COLS if n_cols > 1 else 0
+    stepk = _local_stepk(local_engine)
+    g = GHOST
+
+    def local_chunk(f_loc, mask_ext_f):
+        w = f_loc.shape[-1]
+        if n_cols > 1:
+            ghost_w = halo_lib.ring_shift(f_loc[:, :, -GHOST_COLS:], COL, +1)
+            ghost_e = halo_lib.ring_shift(f_loc[:, :, :GHOST_COLS], COL, -1)
+            ext_c = jnp.concatenate([ghost_w, f_loc, ghost_e], axis=2)
+        else:
+            ext_c = f_loc
+        # mask_ext_f covers [row ghost | owned | row ghost] x column-ext:
+        # strip the row-ghost bands off for the interior kernel
+        mask_own = mask_ext_f[g : g + h]
+
+        shard_row0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
+        kw = dict(k_steps=k_steps, omega=omega, accel_w1=accel_w1,
+                  accel_w2=accel_w2, accel_row=accel_row,
+                  interpret=interpret, global_ny=ny,
+                  valid_cols=(gc, gc + w))
+
+        # 1. issue the row-ghost exchange...
+        ghost_s = halo_lib.ring_shift(ext_c[:, -g:, :], ROW, +1)
+        ghost_n = halo_lib.ring_shift(ext_c[:, :g, :], ROW, -1)
+
+        # 2. ...then the interior kernel, which depends only on ext_c.
+        # Rows outside [GHOST, h-GHOST) wrap around the shard (wrong
+        # physics) and are discarded/excluded from the Sum.
+        int_new, t_i = stepk(
+            ext_c, mask_own, band=band,
+            row_offset=shard_row0, valid_rows=(g, h - g), **kw)
+
+        # 3. boundary kernels: one ghost band + two owned bands -> the
+        # GHOST edge rows whose stencil reaches the ghosts
+        south_in = jnp.concatenate([ghost_s, ext_c[:, : 2 * g, :]], axis=1)
+        s_new, t_s = stepk(
+            south_in, mask_ext_f[: 3 * g],
+            row_offset=shard_row0 - g, valid_rows=(g, 2 * g), **kw)
+        north_in = jnp.concatenate([ext_c[:, h - 2 * g :, :], ghost_n],
+                                   axis=1)
+        n_new, t_n = stepk(
+            north_in, mask_ext_f[g + h - 2 * g : g + h + g],
+            row_offset=shard_row0 + h - 2 * g, valid_rows=(g, 2 * g), **kw)
+
+        f_new = jnp.concatenate(
+            [s_new[:, g : 2 * g], int_new[:, g : h - g],
+             n_new[:, g : 2 * g]], axis=1)[:, :, gc : gc + w]
+        return f_new, jax.lax.psum(t_i + t_s + t_n, (ROW, COL))
+
+    return jax.shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(P(None, ROW, COL), P(ROW, COL)),
+        out_specs=(P(None, ROW, COL), P()),
+        check_vma=False,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "num_steps", "k_steps", "omega", "accel_w1",
                      "accel_w2", "accel_row", "ny", "band", "interpret",
-                     "local_engine"),
+                     "local_engine", "overlap"),
 )
 def run(
     f: jax.Array,
@@ -218,10 +326,12 @@ def run(
     band: int | None = None,
     interpret: bool | None = None,
     local_engine: str = "inplace",
+    overlap: bool = False,
 ):
     if num_steps % k_steps:
         raise ValueError("num_steps must be a multiple of k_steps")
-    chunk = make_chunk_fn(
+    make = make_overlap_chunk_fn if overlap else make_chunk_fn
+    chunk = make(
         mesh, k_steps=k_steps, omega=omega, accel_w1=accel_w1,
         accel_w2=accel_w2, accel_row=accel_row, ny=ny, band=band,
         interpret=interpret, local_engine=local_engine,
@@ -286,11 +396,14 @@ def simulate(
     k_steps: int = 4,
     band: int | None = None,
     local_engine: str = "inplace",
+    overlap: bool = False,
 ):
     """Full reference-semantics distributed simulation on the
     ghost-band + local-Pallas path. Same contract as d2q9.simulate.
     local_engine='inplace' (default) runs the aliased one-stream kernel
-    on each shard; 'two-stream' keeps the original kernel (oracle)."""
+    on each shard; 'two-stream' keeps the original kernel (oracle).
+    overlap=True rides the row-ghost ppermutes under the interior kernel
+    (make_overlap_chunk_fn; even row sharding, >= 24 rows/shard)."""
     if mesh is None:
         mesh = make_row_mesh()
     aw = d2q9.AccelWeights.from_params(params)
@@ -303,6 +416,7 @@ def simulate(
         f, mask_ext_f, mesh=mesh, num_steps=params.max_iters,
         k_steps=k_steps, omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2,
         accel_row=accel_row, ny=ny, band=band, local_engine=local_engine,
+        overlap=overlap,
     )
     if pad:
         f_final = f_final[:, :ny, :]

@@ -177,3 +177,41 @@ def test_local_stepk_falls_back_to_two_stream():
     fa, ta = d3q19_pallas.stepk(f, mask_f, k_steps=4, **kw)
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(fa))
     np.testing.assert_array_equal(np.asarray(ti), np.asarray(ta))
+
+
+@pytest.mark.parametrize("mesh_shape,ny,nx", [
+    ((8, 1), 192, 128),   # row mesh, h = 24 = 3*GHOST (minimum)
+    ((2, 4), 64, 512),    # 2-D mesh: column wave + overlapped row wave
+])
+def test_overlap_bit_parity_with_fused(mesh_shape, ny, nx):
+    """Round-4 VERDICT #5: the row-exchange/compute-overlapped chunk's
+    STATE must be BIT-identical to the fused path — same per-cell
+    arithmetic, the three kernels' valid ranges partition the owned rows
+    exactly. The Sum|u| diagnostic is reduction-order-equal only (three
+    partial sums instead of one -> f32 ulp differences)."""
+    f, mask = make_case(ny, nx)
+    w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
+    kw = dict(num_steps=8, k_steps=4, omega=1.85, accel_w1=w1, accel_w2=w2,
+              accel_row=ny - 2, ny=ny)
+    r, c = mesh_shape
+    mesh = pallas_sharded.make_mesh2d(r, c)
+    mask_ext = jnp.asarray(pallas_sharded.extended_mask(mask, r, c),
+                           jnp.float32)
+    f_fused, t_fused = pallas_sharded.run(
+        jnp.asarray(f), mask_ext, mesh=mesh, **kw)
+    f_over, t_over = pallas_sharded.run(
+        jnp.asarray(f), mask_ext, mesh=mesh, overlap=True, **kw)
+    np.testing.assert_array_equal(np.asarray(f_over), np.asarray(f_fused))
+    np.testing.assert_allclose(np.asarray(t_over), np.asarray(t_fused),
+                               rtol=1e-6)
+
+
+def test_overlap_rejects_thin_and_padded_shards():
+    mesh = pallas_sharded.make_row_mesh(8)
+    kw = dict(k_steps=4, omega=1.85, accel_w1=1e-4, accel_w2=1e-5,
+              accel_row=6)
+    with pytest.raises(ValueError, match="rows per shard"):
+        pallas_sharded.make_overlap_chunk_fn(mesh, ny=128, **kw)  # h=16
+    with pytest.raises(ValueError, match="evenly-sharded"):
+        # h=32, last shard 8 valid rows -> 24 pad rows
+        pallas_sharded.make_overlap_chunk_fn(mesh, ny=232, **kw)
