@@ -47,6 +47,12 @@ D2_4096_TIMEOUT_S = int(os.environ.get("LBM_BENCH_4096_TIMEOUT", "2100"))
 # multi-ms dispatch jitter stays under ~1% (200 iters bounced 2,480-2,820
 # MLUPS run to run). Shared by main() and the --d3q19-only subprocess.
 D3_ITERS = 600
+# 256^2-plane blocked-kernel secondary (round 4, VERDICT #6): same iter
+# count (~0.29 s at the measured 4,417 MLUPS) and the slab budget — the
+# blocked by=64/K=3 Mosaic compile is the same order as the slab's
+D3_BLOCKED_ITERS = 600
+D3_BLOCKED_TIMEOUT_S = int(os.environ.get("LBM_BENCH_D3_BLOCKED_TIMEOUT",
+                                          "1500"))
 
 
 def _setup():
@@ -326,6 +332,21 @@ def main() -> int:
     else:
         out["d3q19_error"] = d3_err
 
+    # informational secondary metric (round 4): the 256^2-plane shape that
+    # routes to the in-place BLOCKED kernel (pick_engine: by=64/K=3 at
+    # 32x256x256) so that routing path is driver-regression-visible, not
+    # just experiment-CSV-pinned. Same guarded pattern + parity gate.
+    d3b_secs, d3b_err = run_pallas_subprocess(
+        cmd=[sys.executable, os.path.abspath(__file__),
+             "--d3q19-blocked-only"],
+        timeout=D3_BLOCKED_TIMEOUT_S,
+    )
+    if d3b_secs is not None:
+        out["d3q19_blocked_mlups_32x256x256"] = round(
+            D3_BLOCKED_ITERS * 32 * 256 * 256 / d3b_secs / 1e6, 1)
+    else:
+        out["d3q19_blocked_error"] = d3b_err
+
     # informational secondary metric: the largest non-resident grid config
     # (choose_config: band 64 / K=8 at 4096^2), same guarded pattern
     g4_secs, g4_err = run_pallas_subprocess(
@@ -484,6 +505,57 @@ def d3q19_only(iters: int = D3_ITERS) -> int:
     return 0
 
 
+def d3q19_blocked_only(iters: int = D3_BLOCKED_ITERS) -> int:
+    """Subprocess entry: print seconds for the 256^2-plane blocked-kernel
+    config (32x256x256). pick_engine routes this shape to the in-place
+    (z,y)-blocked kernel at by=64/K=3 (4,417 MLUPS committed,
+    experiments/lbm3d-perf/inplace.csv; the slab kernel's working set
+    exceeds VMEM at 256^2 planes). Asserts the routing so a selector
+    regression fails loudly, then gates on engine parity vs the pure-JAX
+    step (no golden data at this 3-D shape)."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops import d3q19, d3q19_pallas_inplace_blocked
+    from lbm_tpu.utils import profiling
+
+    profiling.enable_compilation_cache(CACHE_DIR)
+    nz, ny, nx = 32, 256, 256
+    kind, bz, by, k = d3q19_pallas_inplace_blocked.choose_k(
+        nz, ny, nx, iters)
+    if kind != "blocked":
+        print(json.dumps({"error": f"routing regression: choose_k picked "
+                                   f"{kind!r} (bz={bz}, by={by}, k={k}) for "
+                                   f"{nz}x{ny}x{nx}, expected 'blocked'"}))
+        return 1
+    f = jnp.asarray(d3q19.initial_distributions(nz, ny, nx, 0.1, np.float32))
+    mask = np.zeros((nz, ny, nx), bool)
+    mask[0] = True
+    mask[-1] = True
+    mask_b = jnp.asarray(mask)
+    mask_f = mask_b.astype(f.dtype)
+
+    def runner(n):
+        return d3q19_pallas_inplace_blocked.run(
+            f, mask_f, num_steps=n, k_steps=k, omega=1.85, density=0.1,
+            accel=0.005, accel_plane=nz - 2, bz=bz, by=by)
+
+    amask = d3q19.accel_plane_mask(nz, ny, nx, nz - 2)
+    _, tots_ref = d3q19.run(f, mask_b, amask, num_steps=24, omega=1.85,
+                            density=0.1, accel=0.005)
+    _, tots = runner(24)
+    rel = float(jnp.max(jnp.abs(tots[1:] - tots_ref[1:])
+                        / jnp.abs(tots_ref[1:])))
+    if rel > GATE_MAX_REL_ERR:
+        print(json.dumps({"error": f"d3q19 blocked engine-parity gate "
+                                   f"failed: max rel err {rel:.2e}"}))
+        return 1
+
+    dt = _time_runner_n(runner, iters)
+    print(json.dumps({"seconds": dt, "parity_max_rel_err_24_steps": rel,
+                      "config": {"bz": bz, "by": by, "k": k}}))
+    return 0
+
+
 def _time_runner_n(runner, n, repeats: int = 3):
     """Best-of-`repeats` timed runs after a warm-up. The tunnel platform
     adds multi-ms dispatch/fetch jitter per run (CLAUDE.md), so a single
@@ -507,6 +579,8 @@ if __name__ == "__main__":
         sys.exit(inplace_only())
     elif "--d3q19-only" in sys.argv:
         sys.exit(d3q19_only())
+    elif "--d3q19-blocked-only" in sys.argv:
+        sys.exit(d3q19_blocked_only())
     elif "--d2q9-4096-only" in sys.argv:
         sys.exit(d2q9_4096_only())
     else:

@@ -120,6 +120,41 @@ def main():
                    f"{pct_o:.1f},0")
             print(row)
             out.write(row + "\n")
+        # 2-D comm-avoiding ghost-band path (parallel/pallas_sharded):
+        # per K=4 steps each shard exchanges 8-row ghost bands (2 x 9
+        # planes x 8 x w_ext) plus, on 2-D meshes, 128-col bands (2 x 9 x
+        # (h) x 128) over ICI; the local in-place kernel advances K x h x w
+        # cells at its measured ~12.0e9 cells/s (d2q9-overlap/results.csv).
+        # overlap=True (make_overlap_chunk_fn, round 4) rides the ROW wave
+        # under the interior kernel (h-16 of h rows); the column wave stays
+        # exposed (the 2-wave corner scheme needs it before the row wave).
+        K2 = 4
+        RATE2 = 12.0e9
+        for ny2, (r2, c2) in ((1024, (2, 4)), (1024, (8, 1)),
+                              (4096, (4, 4)), (4096, (8, 1)),
+                              (8192, (4, 4))):
+            h2, w2 = ny2 // r2, ny2 // c2
+            gcb = 2 * 9 * (h2) * 128 * 4 if c2 > 1 else 0
+            w_ext = w2 + (256 if c2 > 1 else 0)
+            grb = 2 * 9 * 8 * w_ext * 4
+            t_row = grb / (ICI_GBPS * 1e9)
+            t_col = gcb / (ICI_GBPS * 1e9)
+            t_cmp = K2 * h2 * w2 / RATE2
+            pct = 100 * (t_row + t_col) / (t_row + t_col + t_cmp)
+            row = (f"model2d,tpu-v5e-model,{ny2}x{ny2},{r2}x{c2},{K2},"
+                   f"{t_row + t_col + t_cmp:.2e},{t_cmp:.2e},"
+                   f"{t_row + t_col:.2e},{pct:.1f},0")
+            print(row)
+            out.write(row + "\n")
+            t_int = K2 * (h2 - 16) * w2 / RATE2
+            t_exposed = max(0.0, t_row - t_int) + t_col
+            tot = t_cmp + t_exposed
+            pct_o = 100 * t_exposed / tot
+            row = (f"model2d-overlap,tpu-v5e-model,{ny2}x{ny2},{r2}x{c2},"
+                   f"{K2},{tot:.2e},{t_cmp:.2e},{t_exposed:.2e},"
+                   f"{pct_o:.1f},0")
+            print(row)
+            out.write(row + "\n")
     print(f"wrote {out_path}")
 
 
