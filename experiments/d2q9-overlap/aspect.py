@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Aspect-ratio robustness sweep for choose_band/choose_config (VERDICT #8).
+
+The selector tables were calibrated on square power-of-two grids
+(results.csv, large-grid sweeps). This sweep stresses the selectors at
+extreme aspect ratios and a non-power-of-two multiple of 8 — the analogue
+of the reference's min-partition-size sweep
+(/root/reference/experiments/min-partition-size/results.csv:2-16) — by
+timing the production in-place engine at the selector's pick AND at
+neighbouring (band, K) alternates. A pick is a MISPICK if an alternate
+beats it by > 2% (beyond the measured ±1% rerun variance).
+
+Shapes: 512x8192 (wide), 8192x512 (tall), 1368x1368 (= 8*171*...,
+non-power-of-two: feasible bands are only {8, 24, 72} under 128).
+
+Usage: python experiments/d2q9-overlap/aspect.py [--iters N]   (real TPU)
+Writes aspect.csv.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HERE))
+sys.path.insert(0, REPO)
+
+SHAPES = [(512, 8192), (8192, 512), (1368, 1368)]
+
+
+def feasible_bands(ny: int) -> list[int]:
+    return [b for b in range(8, min(ny, 128) + 1, 8)
+            if ny % b == 0 and ny // b >= 2]
+
+
+def configs_for(ny: int, nx: int) -> list[tuple[int, int, str]]:
+    """[(band, k, tag)]: the selector pick first, then alternates."""
+    from lbm_tpu.ops import d2q9_pallas_inplace as ip
+
+    band, k = ip.choose_config(ny, nx)
+    out = [(band, k, "pick")]
+    bands = feasible_bands(ny)
+    bi = bands.index(band) if band in bands else -1
+    if bi > 0:
+        out.append((bands[bi - 1], k, "band-"))
+    if 0 <= bi < len(bands) - 1:
+        out.append((bands[bi + 1], k, "band+"))
+    alt_k = 2 if k == 4 else 4
+    out.append((band, alt_k, f"k={alt_k}"))
+    return out
+
+
+def _worker(ny: int, nx: int, band: int, k: int, iters: int) -> int:
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from lbm_tpu.core import state
+    from lbm_tpu.core.params import Params
+    from lbm_tpu.ops import d2q9, d2q9_pallas_inplace as ip
+    from lbm_tpu.utils import profiling
+
+    profiling.enable_compilation_cache(os.path.join(REPO, ".jax_cache"))
+    p = Params(nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
+               density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((ny, nx), bool)
+    mask[0] = True
+    mask[-1] = True
+    mask[:, 0] = True
+    mask[:, -1] = True
+    aw = d2q9.AccelWeights.from_params(p)
+    f = jnp.asarray(state.initial_distributions(p, np.float32))
+    mask_f = jnp.asarray(mask, jnp.float32)
+
+    def runner(m):
+        return ip.run(f, mask_f, num_steps=m, omega=p.omega,
+                      accel_w1=aw.w1, accel_w2=aw.w2, accel_row=ny - 2,
+                      k_steps=k, band=band)
+
+    np.asarray(runner(iters)[1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(runner(iters)[1])
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"mlups": round(iters * ny * nx / best / 1e6, 1)}))
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=496)
+    args = ap.parse_args()
+    rows = ["ny,nx,band,k,tag,platform,iters,mlups,mispick"]
+    bad = 0
+    for ny, nx in SHAPES:
+        results = []
+        for band, k, tag in configs_for(ny, nx):
+            if args.iters % k:
+                continue
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(ny), str(nx), str(band), str(k), str(args.iters)],
+                capture_output=True, text=True, timeout=2400)
+            if proc.returncode:
+                print(f"{ny}x{nx} band={band} k={k} FAILED: "
+                      f"{proc.stderr[-400:]}")
+                return 1
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            results.append((band, k, tag, r["mlups"]))
+            print(f"{ny}x{nx} band={band} k={k} ({tag}): {r['mlups']}",
+                  flush=True)
+        pick = next(m for b, k, t, m in results if t == "pick")
+        best_alt = max((m for b, k, t, m in results if t != "pick"),
+                       default=0.0)
+        mis = int(best_alt > pick * 1.02)
+        bad += mis
+        for band, k, tag, m in results:
+            rows.append(f"{ny},{nx},{band},{k},{tag},tpu,{args.iters},{m},"
+                        f"{mis if tag == 'pick' else ''}")
+    with open(os.path.join(HERE, "aspect.csv"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    print(f"wrote aspect.csv ({bad} mispicks)")
+    return 0 if bad == 0 else 2
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        sys.exit(_worker(*(int(x) for x in sys.argv[i + 1 : i + 6])))
+    sys.exit(main())

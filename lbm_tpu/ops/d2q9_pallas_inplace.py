@@ -35,6 +35,7 @@ see CLAUDE.md).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -452,14 +453,20 @@ def stepk(
     # per-band accel flags: does the K-halo-extended row range of band bi
     # touch the accelerated row (mod global ny)? Computed with jnp so a
     # traced row_offset (sharded shards) works; nb is tiny.
+    # LBM_D2Q9_ACCEL_SPEC=0 forces every band onto the with-accel path —
+    # the A/B baseline for experiments/d2q9-overlap/accel_band.py (the
+    # SAME compiled kernel, so the delta isolates the fast path exactly).
     nb = ny // band
-    ext = band + 2 * (k_steps - 1)
-    rows = (jnp.arange(nb, dtype=jnp.int32)[:, None] * band
-            - (k_steps - 1) + jnp.asarray(row_offset, jnp.int32)
-            + jnp.arange(ext, dtype=jnp.int32)[None, :])
-    bflags = (jnp.mod(rows, gny)
-              == jnp.asarray(accel_row, jnp.int32)).any(axis=1)
-    bflags = bflags.astype(jnp.int32).reshape(1, nb)
+    if os.environ.get("LBM_D2Q9_ACCEL_SPEC", "1") == "0":
+        bflags = jnp.ones((1, nb), jnp.int32)
+    else:
+        ext = band + 2 * (k_steps - 1)
+        rows = (jnp.arange(nb, dtype=jnp.int32)[:, None] * band
+                - (k_steps - 1) + jnp.asarray(row_offset, jnp.int32)
+                + jnp.arange(ext, dtype=jnp.int32)[None, :])
+        bflags = (jnp.mod(rows, gny)
+                  == jnp.asarray(accel_row, jnp.int32)).any(axis=1)
+        bflags = bflags.astype(jnp.int32).reshape(1, nb)
     f_new, tots = call(scal, bflags, f, mask_f)
     return f_new, tots[0]
 

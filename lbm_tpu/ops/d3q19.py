@@ -26,12 +26,23 @@ from .d3q19_lattice import (  # noqa: F401
     E, NUM_SPEEDS, OPPOSITE, W, initial_distributions,
 )
 
+# BGK equilibrium expression grouping (VERDICT #7 lane-op audit). 'paired'
+# (default): opposite-pair sharing, ~35% fewer equilibrium plane-ops; the
+# env var exists so the A/B experiment (experiments/lbm3d-perf/regroup.py)
+# can run each variant in its own process (kernels inline this function,
+# so the variant must be fixed per process for cache coherence).
+import os as _os
+
+GROUPING = _os.environ.get("LBM_D3Q19_GROUPING", "paired")
+
 
 def equilibrium(rho, u_x, u_y, u_z) -> jax.Array:
     """Maxwell-Boltzmann equilibrium at (rho, u) on the D3Q19 lattice.
 
-    Same rearranged grouping as `collide_fields` (so equilibrium is an exact
-    collision fixed point modulo floating point). Inputs broadcast to the
+    Kept in the reference's rearranged per-speed grouping; collide_fields'
+    default paired grouping computes the algebraically identical value, so
+    equilibrium remains a collision fixed point modulo float rounding
+    (test_equilibrium_is_stationary, rtol 1e-12). Inputs broadcast to the
     grid shape; returns (19, nz, ny, nx). Counterpart of d2q9.equilibrium.
     """
     u_sq = u_x * u_x + u_y * u_y + u_z * u_z
@@ -88,26 +99,61 @@ def collide_fields(
     c_sq = 1.0 - u_sq * 1.5
     one_minus_omega = 1.0 - omega
 
-    outs = []
-    for k in range(NUM_SPEEDS):
-        eu = 0.0
-        if E[k, 2]:
-            eu = eu + int(E[k, 2]) * u_x
-        if E[k, 1]:
-            eu = eu + int(E[k, 1]) * u_y
-        if E[k, 0]:
-            eu = eu + int(E[k, 0]) * u_z
-        wk = float(W[k])
-        if isinstance(eu, float):  # rest speed
-            feq_term = wk * rho * omega * c_sq
-        else:
-            # w rho omega (c_sq + 3 eu + 4.5 eu^2), in the reference's
-            # rearranged (4.5 eu)(2/3 + eu) + c_sq form
-            feq_term = wk * rho * omega * ((4.5 * eu) * (2.0 / 3.0 + eu) + c_sq)
-        out = s[k] * one_minus_omega + feq_term
-        if E[k, 2]:  # accelerated-plane force on x-moving speeds
-            out = out + accel_mask * (int(E[k, 2]) * (density * accel * wk))
-        outs.append(out)
+    if GROUPING == "paired":
+        # round-4 lane-op regrouping (VERDICT #7): opposite speed pairs
+        # share eu (eu_opp = -eu), the quadratic equilibrium term, the
+        # per-weight-class w*omega*rho product and the accel-force
+        # product — ~35% fewer equilibrium plane-ops than the per-speed
+        # reference grouping. Algebraically identical ((4.5eu)(2/3+eu) =
+        # 3eu + 4.5eu^2); rounding differs at the ulp level, so the
+        # native oracle (native/d3q19_serial.cpp) carries the SAME
+        # grouping and the committed 3-D golden trace was minted from it.
+        outs = [None] * NUM_SPEEDS
+        wro = {w: (float(w) * omega) * rho for w in (W[0], W[1], W[7])}
+        outs[0] = s[0] * one_minus_omega + wro[W[0]] * c_sq
+        for k in range(1, NUM_SPEEDS):
+            kb = int(OPPOSITE[k])
+            if kb < k:
+                continue
+            eu = 0.0
+            if E[k, 2]:
+                eu = eu + int(E[k, 2]) * u_x
+            if E[k, 1]:
+                eu = eu + int(E[k, 1]) * u_y
+            if E[k, 0]:
+                eu = eu + int(E[k, 0]) * u_z
+            quad = (4.5 * eu) * eu + c_sq
+            lin = 3.0 * eu
+            w = wro[W[k]]
+            out_k = s[k] * one_minus_omega + w * (quad + lin)
+            out_kb = s[kb] * one_minus_omega + w * (quad - lin)
+            if E[k, 2]:  # accelerated-plane force on x-moving speeds
+                t = accel_mask * (int(E[k, 2]) * (density * accel * float(W[k])))
+                out_k = out_k + t
+                out_kb = out_kb - t
+            outs[k] = out_k
+            outs[kb] = out_kb
+    else:
+        outs = []
+        for k in range(NUM_SPEEDS):
+            eu = 0.0
+            if E[k, 2]:
+                eu = eu + int(E[k, 2]) * u_x
+            if E[k, 1]:
+                eu = eu + int(E[k, 1]) * u_y
+            if E[k, 0]:
+                eu = eu + int(E[k, 0]) * u_z
+            wk = float(W[k])
+            if isinstance(eu, float):  # rest speed
+                feq_term = wk * rho * omega * c_sq
+            else:
+                # w rho omega (c_sq + 3 eu + 4.5 eu^2), in the reference's
+                # rearranged (4.5 eu)(2/3 + eu) + c_sq form
+                feq_term = wk * rho * omega * ((4.5 * eu) * (2.0 / 3.0 + eu) + c_sq)
+            out = s[k] * one_minus_omega + feq_term
+            if E[k, 2]:  # accelerated-plane force on x-moving speeds
+                out = out + accel_mask * (int(E[k, 2]) * (density * accel * wk))
+            outs.append(out)
 
     f_new = jnp.stack(
         [jnp.where(obstacle_mask, s[int(OPPOSITE[k])], outs[k])

@@ -3,11 +3,13 @@
 // The reference is 2-D only; this oracle independently implements the same
 // 19-velocity lattice semantics as lbm_tpu/ops/d3q19.py (pull streaming
 // with periodic wraparound, bounce-back rebound, BGK collision in the
-// rearranged `(4.5 eu)(2/3 + eu) + c_sq` grouping, accelerated-plane body
-// force on x-moving speeds, per-step Sum|u| over free cells) so the JAX and
-// Pallas 3-D engines have a fast no-JAX host cross-check. Speed tables and
-// accumulation order mirror d3q19.py exactly (E, W, OPPOSITE; u-moment
-// left-fold in ascending k) so f32 runs land in the same rounding class.
+// round-4 paired-opposite grouping — opposite speeds share eu, the
+// quadratic term and w*omega*rho, lockstep with collide_fields
+// GROUPING=='paired' — accelerated-plane body force on x-moving speeds,
+// per-step Sum|u| over free cells) so the JAX and Pallas 3-D engines have
+// a fast no-JAX host cross-check. Speed tables and accumulation order
+// mirror d3q19.py exactly (E, W, OPPOSITE; u-moment left-fold in
+// ascending k) so f32 runs land in the same rounding class.
 //
 // Exported via C ABI, bound in lbm_tpu/ops/d3q19_native.py (ctypes).
 // Build: make -C native   (part of liblbmio.so)
@@ -29,7 +31,6 @@ double step(const T *__restrict in, T *__restrict out,
             T omega, T density, T accel, long accel_plane) {
     const long plane = nz * ny * nx;
     const T one_minus_omega = (T)1 - omega;
-    const T two_thirds = (T)(2.0 / 3.0);
     const T w0 = (T)(1.0 / 3.0), w1 = (T)(1.0 / 18.0), w2 = (T)(1.0 / 36.0);
     const T wt[19] = {w0, w1, w1, w1, w1, w1, w1, w2, w2, w2, w2,
                       w2, w2, w2, w2, w2, w2, w2, w2};
@@ -70,22 +71,32 @@ double step(const T *__restrict in, T *__restrict out,
                 const T u_x = mx / rho, u_y = my / rho, u_z = mz / rho;
                 const T u_sq = u_x * u_x + u_y * u_y + u_z * u_z;
                 const T c_sq = (T)1 - u_sq * (T)1.5;
-                for (int k = 0; k < 19; k++) {
-                    T o;
-                    if (k == 0) {
-                        o = s[0] * one_minus_omega + wt[0] * rho * omega * c_sq;
-                    } else {
-                        T eu = 0;
-                        if (EX[k]) eu += (T)EX[k] * u_x;
-                        if (EY[k]) eu += (T)EY[k] * u_y;
-                        if (EZ[k]) eu += (T)EZ[k] * u_z;
-                        o = s[k] * one_minus_omega +
-                            wt[k] * rho * omega *
-                                (((T)4.5 * eu) * (two_thirds + eu) + c_sq);
-                        if (on_accel && EX[k])
-                            o += (T)EX[k] * (density * accel * wt[k]);
+                // paired-opposite grouping, in lockstep with
+                // d3q19.collide_fields (GROUPING == 'paired'): opposite
+                // speeds share eu, the quadratic term and w*omega*rho
+                const T wro_0 = ((T)w0 * omega) * rho;
+                const T wro_1 = ((T)w1 * omega) * rho;
+                const T wro_2 = ((T)w2 * omega) * rho;
+                out[0 * plane + i] = s[0] * one_minus_omega + wro_0 * c_sq;
+                for (int k = 1; k < 19; k++) {
+                    const int kb = OPP[k];
+                    if (kb < k) continue;
+                    T eu = 0;
+                    if (EX[k]) eu += (T)EX[k] * u_x;
+                    if (EY[k]) eu += (T)EY[k] * u_y;
+                    if (EZ[k]) eu += (T)EZ[k] * u_z;
+                    const T quad = ((T)4.5 * eu) * eu + c_sq;
+                    const T lin = (T)3 * eu;
+                    const T w = (k <= 6) ? wro_1 : wro_2;
+                    T ok = s[k] * one_minus_omega + w * (quad + lin);
+                    T okb = s[kb] * one_minus_omega + w * (quad - lin);
+                    if (on_accel && EX[k]) {
+                        const T t = (T)EX[k] * (density * accel * wt[k]);
+                        ok += t;
+                        okb -= t;
                     }
-                    out[k * plane + i] = o;
+                    out[k * plane + i] = ok;
+                    out[kb * plane + i] = okb;
                 }
                 tot += std::sqrt((double)u_sq);
             }
