@@ -75,7 +75,15 @@ def main(argv=None) -> int:
                              "<out-dir>/checkpoint.npz)")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the checkpoint file if it exists")
+    parser.add_argument("--overlap", action="store_true",
+                        help="sharded-pallas only: overlap the row-ghost "
+                             "exchange with the interior kernel (even row "
+                             "sharding, >= 24 rows/shard)")
     args = parser.parse_args(argv)
+    if args.overlap and args.engine != "sharded-pallas":
+        parser.error("--overlap applies to --engine sharded-pallas only")
+    if args.overlap and (args.checkpoint_every or args.resume):
+        parser.error("--overlap is not supported with checkpointed runs")
 
     import contextlib
 
@@ -162,7 +170,7 @@ def main(argv=None) -> int:
             result = lbm_model.run_simulation_sharded(
                 params, obstacles, dtype=dtype, strategy=args.strategy,
                 engine=args.engine, num_devices=args.num_devices,
-                num_steps=args.num_steps,
+                num_steps=args.num_steps, overlap=args.overlap,
             )
         else:
             result = lbm_model.run_simulation(

@@ -381,12 +381,15 @@ def run_simulation_sharded(
     engine: str = "sharded",
     num_devices: int | None = None,
     num_steps: int | None = None,
+    overlap: bool = False,
 ) -> LbmResult:
     """Multi-device simulation over a jax.sharding.Mesh.
 
     engine='sharded' uses the pure-JAX distributed step with the chosen halo
     `strategy`; engine='sharded-pallas' uses the communication-avoiding
-    ghost-band + local K-step Pallas path (parallel/pallas_sharded.py).
+    ghost-band + local K-step Pallas path (parallel/pallas_sharded.py);
+    overlap=True (sharded-pallas only) rides the row-ghost ppermutes under
+    the interior kernel (pallas_sharded.make_overlap_chunk_fn).
     """
     import jax
 
@@ -403,8 +406,12 @@ def run_simulation_sharded(
                 "sharded-pallas always uses the ghost-band ppermute exchange"
             )
         mesh = pallas_sharded.make_row_mesh(n)
-        sim = lambda: pallas_sharded.simulate(p, f0, obstacles.mask, mesh)
+        sim = lambda: pallas_sharded.simulate(p, f0, obstacles.mask, mesh,
+                                              overlap=overlap)
     else:
+        if overlap:
+            raise ValueError(
+                "overlap=True applies to engine='sharded-pallas' only")
         mesh = mesh_lib.make_mesh(n, p.ny, p.nx)
         sim = lambda: halo.simulate_sharded(p, f0, obstacles.mask, mesh,
                                             strategy=strategy)

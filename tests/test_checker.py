@@ -63,3 +63,32 @@ def test_step_count_mismatch(tmp_path, capsys):
     sim = write_case(tmp_path, [1e-5], [(0, 0, 0.1, 0.03)], "s")
     assert check.main(args_for(ref, sim)) == 1
     assert "number of steps" in capsys.readouterr().out
+
+
+def test_mint_golden_smoke_and_gz_blobs():
+    """verify/mint_golden.py end-to-end on a short prefix (writes nothing)
+    + the committed self-golden .gz blobs exist with MINT.csv evidence."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = os.environ.get("LBM_REFERENCE_DIR", "/root/reference")
+    if not os.path.isdir(ref):
+        pytest.skip("no reference data")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "verify", "mint_golden.py"),
+         "--grid", "128x128", "--device", "cpu", "--num-steps", "120"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "writing nothing" in proc.stdout
+    for grid in ("256x256", "1024x1024"):
+        blob = os.path.join(repo, "check", f"{grid}.final_state.dat.gz")
+        assert os.path.exists(blob), blob
+    mint = open(os.path.join(repo, "check", "MINT.csv")).read()
+    assert "256x256,80000" in mint and "1024x1024,20000" in mint
+    # every committed evidence row passed the mint gates
+    for line in mint.strip().splitlines()[1:]:
+        cols = line.split(",")
+        assert float(cols[3]) < 1e-9   # av_vs_golden_max_rel
+        assert float(cols[7]) < 1e-10  # fs_worst_field_rel

@@ -203,3 +203,34 @@ def test_flow_viz_cli(tmp_path):
         ])
         assert res.returncode == 0, res.stderr
         assert out.exists() and out.stat().st_size > 0
+
+
+@needs_ref
+def test_lbm_cli_sharded_overlap(tmp_path):
+    """Round 4: the 2-D row-exchange/compute overlap surface end-to-end
+    (4 row-shards x 32 rows on the 128x128 grid)."""
+    res = run_cli([
+        "lbm_tpu.cli.lbm", "--params", f"{REF}/params/input_128x128.params",
+        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
+        "--device", "cpu", "--num-steps", "8", "--out-dir", str(tmp_path),
+        "--engine", "sharded-pallas", "--num-devices", "4", "--overlap",
+    ])
+    assert res.returncode == 0, res.stderr
+    assert "==done==" in res.stdout
+    base = run_cli([
+        "lbm_tpu.cli.lbm", "--params", f"{REF}/params/input_128x128.params",
+        "--obstacles", f"{REF}/params/obstacles_128x128.dat",
+        "--device", "cpu", "--num-steps", "8", "--out-dir",
+        str(tmp_path / "fused"), "--engine", "sharded-pallas",
+        "--num-devices", "4",
+    ])
+    assert base.returncode == 0, base.stderr
+    import numpy as np
+
+    a = np.loadtxt(tmp_path / "av_vels.dat", usecols=1)
+    b = np.loadtxt(tmp_path / "fused" / "av_vels.dat", usecols=1)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    # the state is bit-identical between overlap and fused
+    fa = np.loadtxt(tmp_path / "final_state.dat")
+    fb = np.loadtxt(tmp_path / "fused" / "final_state.dat")
+    np.testing.assert_array_equal(fa, fb)
