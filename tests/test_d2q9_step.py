@@ -243,7 +243,8 @@ def test_crash_fence_chunks():
                                   _fence_chunks)
 
     big = CRASH_FENCE_CELLS
-    assert _fence_chunks(2000, big, "tpu") == [500, 500, 500, 500]
+    # ceil(2000/496) = 5 dispatches, evenly balanced under the 496 cap
+    assert _fence_chunks(2000, big, "tpu") == [400, 400, 400, 400, 400]
     chunks = _fence_chunks(2001, big, "tpu")
     assert sum(chunks) == 2001 and max(chunks) <= CRASH_FENCE_STEPS
     assert _fence_chunks(496, big, "tpu") == [496]
