@@ -106,6 +106,16 @@ def main() -> int:
                  str(ny), str(nx), str(band), str(k), str(args.iters)],
                 capture_output=True, text=True, timeout=2400)
             if proc.returncode:
+                # an ALTERNATE config may be genuinely infeasible at the
+                # shape (e.g. 512x8192 band=64 K=4 exceeds scoped VMEM) —
+                # that is evidence FOR the pick, not a sweep failure
+                if tag != "pick":
+                    print(f"{ny}x{nx} band={band} k={k} ({tag}): "
+                          "infeasible "
+                          f"({proc.stderr.strip().splitlines()[-1][:120]})",
+                          flush=True)
+                    results.append((band, k, tag, float("nan")))
+                    continue
                 print(f"{ny}x{nx} band={band} k={k} FAILED: "
                       f"{proc.stderr[-400:]}")
                 return 1
@@ -114,13 +124,14 @@ def main() -> int:
             print(f"{ny}x{nx} band={band} k={k} ({tag}): {r['mlups']}",
                   flush=True)
         pick = next(m for b, k, t, m in results if t == "pick")
-        best_alt = max((m for b, k, t, m in results if t != "pick"),
-                       default=0.0)
+        best_alt = max((m for b, k, t, m in results
+                        if t != "pick" and m == m), default=0.0)
         mis = int(best_alt > pick * 1.02)
         bad += mis
         for band, k, tag, m in results:
-            rows.append(f"{ny},{nx},{band},{k},{tag},tpu,{args.iters},{m},"
-                        f"{mis if tag == 'pick' else ''}")
+            cell = "infeasible" if m != m else m
+            rows.append(f"{ny},{nx},{band},{k},{tag},tpu,{args.iters},"
+                        f"{cell},{mis if tag == 'pick' else ''}")
     with open(os.path.join(HERE, "aspect.csv"), "w") as fh:
         fh.write("\n".join(rows) + "\n")
     print(f"wrote aspect.csv ({bad} mispicks)")

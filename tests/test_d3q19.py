@@ -333,3 +333,39 @@ def test_final_state_slice_writer(tmp_path):
     lbm3d_model.write_final_state_slice(path, f, mask, 0, 0.1)
     wall = io_lib.read_final_state(path)
     assert (wall[:, 2:5] == 0).all() and (wall[:, 6] == 1).all()
+
+
+def test_grouping_variants_agree():
+    """Round-4 VERDICT #7: the 'paired' (default) and 'reference' BGK
+    expression groupings are algebraically identical — a full step under
+    each must agree to f32 ulp-scale tolerance (the measured A/B is
+    experiments/lbm3d-perf/regroup.csv; both are flat in speed, paired
+    stays default for oracle rounding-class alignment)."""
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = (
+        "import numpy as np, jax; jax.config.update('jax_platforms','cpu')\n"
+        "import jax.numpy as jnp\n"
+        "from lbm_tpu.ops import d3q19\n"
+        "f = jnp.asarray(d3q19.initial_distributions(4, 8, 16, 0.1, np.float32))\n"
+        "f = f * (1 + 0.01*jnp.sin(jnp.arange(f.size).reshape(f.shape)*0.7))\n"
+        "mask = np.zeros((4, 8, 16), bool); mask[0] = True; mask[-1] = True\n"
+        "am = d3q19.accel_plane_mask(4, 8, 16, 2)\n"
+        "fn, tots = d3q19.run(f, jnp.asarray(mask), am, num_steps=20,\n"
+        "                     omega=1.85, density=0.1, accel=0.005)\n"
+        "np.save('OUT', np.asarray(fn, np.float64))\n"
+    )
+    outs = {}
+    for grouping in ("reference", "paired"):
+        env = dict(os.environ, LBM_D3Q19_GROUPING=grouping)
+        p = subprocess.run(
+            [sys.executable, "-c", prog.replace("'OUT'",
+                                                f"'/tmp/group_{grouping}'")],
+            env=env, capture_output=True, text=True, cwd=REPO)
+        assert p.returncode == 0, p.stderr
+        outs[grouping] = np.load(f"/tmp/group_{grouping}.npy")
+    a, b = outs["reference"], outs["paired"]
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-9)
+    assert not np.array_equal(a, b)  # genuinely different rounding class

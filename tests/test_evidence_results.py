@@ -63,3 +63,23 @@ def test_no_below_noise_rows_remain():
     rows = _read("exchange-vs-compute", "results.csv")
     assert rows
     assert all(r.get("below_noise", "0") != "1" for r in rows)
+
+
+def test_regroup_audit_recorded_flat():
+    """Round-4 VERDICT #7: the D3Q19 BGK lane-op audit ran on TPU for both
+    kernels x both groupings, passed its parity gates, and measured FLAT
+    (the recorded negative result — paired stays default for its oracle
+    rounding-class alignment, not for speed)."""
+    rows = _read("lbm3d-perf", "regroup.csv")
+    assert {(r["case"], r["grouping"]) for r in rows} == {
+        ("slab_64x128x256_k3", "reference"),
+        ("slab_64x128x256_k3", "paired"),
+        ("blocked_32x256x256_k3", "reference"),
+        ("blocked_32x256x256_k3", "paired"),
+    }
+    by = {(r["case"], r["grouping"]): r for r in rows}
+    for (case, _), r in by.items():
+        assert r["platform"] == "tpu"
+        assert float(r["parity_max_rel_err"]) < 4e-4
+        ref = float(by[(case, "reference")]["mlups"])
+        assert abs(float(r["mlups"]) / ref - 1.0) < 0.02  # flat
