@@ -20,11 +20,15 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compile cache (gitignored .jax_cache/, shared with bench):
 # the suite's wall time is dominated by CPU jit compiles, and JAX's cache
 # keys on the optimised HLO + flags, so source changes recompile correctly
-# while unchanged tests rerun warm
+# while unchanged tests rerun warm. The cache has no cross-process write
+# atomicity on this image (see CLAUDE.md: interleaved writes can poison an
+# entry whose deserialization segfaults) — set LBM_TEST_CACHE_DIR to run
+# the suite concurrently with any other jax process using .jax_cache/.
 from lbm_tpu.utils import profiling  # noqa: E402
 
-profiling.enable_compilation_cache(
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+profiling.enable_compilation_cache(os.environ.get(
+    "LBM_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 
 import pytest  # noqa: E402
 
