@@ -120,9 +120,11 @@ def collide_fields(
 
     # fold the accelerated-row body force into the collided state
     # (main/LastChance.cpp:253-261). accel_mask=None skips the force ops
-    # entirely — used by the Pallas engines' accel-free-band fast path
-    # (the adds are exact no-ops when the mask is all-zero, so skipping
-    # is bit-identical on physical states)
+    # entirely (the adds are exact no-ops when the mask is all-zero, so
+    # skipping is bit-identical on physical states). NOTE: the round-4
+    # per-band pl.when fast path that motivated this was measured a ~32%
+    # LOSS and reverted (d2q9-overlap/regress_probe.csv); None remains
+    # supported for stream_only diagnostics and future callers.
     if accel_mask is not None:
         aw1 = accel_mask * accel_w1
         aw2 = accel_mask * accel_w2

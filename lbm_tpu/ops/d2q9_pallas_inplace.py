@@ -35,7 +35,6 @@ see CLAUDE.md).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +75,7 @@ def default_vmem_limit(band: int, nx: int, k_steps: int) -> int:
     return min(120 * 1024 * 1024, int((slots + snap + temps) * 1.35))
 
 
-def _kernel(scal_ref, bflags_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
+def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
             f_sl, p_sl, n_sl, m_sl, mp_sl, mn_sl, o_sl, wrap_sl,
             f_sem, p_sem, n_sem, m_sem, mp_sem, mn_sem, o_sem, wrap_sem,
             *, band: int, k_steps: int, omega: float, accel_w1: float,
@@ -89,20 +88,20 @@ def _kernel(scal_ref, bflags_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
     col_hi) exactly as in d2q9_pallas._kernel. mode is DIAGNOSTIC ONLY
     ('stream_only' skips the BGK collision, 'copy' skips everything).
 
-    Round-4 band specialization (VERDICT #1): bflags_ref (SMEM (1, nb)
-    int32) marks the bands whose K-halo-extended row range touches the
-    accelerated row; the others take a fast path that skips the body-force
-    ops entirely (bit-identical: the force adds are exact no-ops where the
-    accel mask is zero). On the flagship 1024^2 config only 2 of 8 bands
-    carry the accel row. Obstacle-free bands were the other half of the
-    idea, but EVERY shipped reference mask has box walls on all four
-    sides (plus a vertical line at 1024^2), so no row band is ever
-    obstacle-free — the rebound selects stay unconditional rather than
-    paying 2x kernel code for a path no real mask would take
-    (experiments/d2q9-overlap/accel_band.csv). all_valid=True (static)
-    additionally drops the ghost-exclusion `where` from the Sum|u|
-    reduction — exact when the caller's valid window is the whole grid,
-    the single-chip case."""
+    Round-4 band-specialization attempt (VERDICT #1), MEASURED NEGATIVE
+    and reverted: routing accel-free bands onto a body-force-free fast
+    path via per-band SMEM flags + pl.when cost ~32% at 1024^2 (12,075 ->
+    8,275/8,110 MLUPS with the flags on/off — the SAME compiled kernel,
+    so the dual-branch kernel STRUCTURE is the cost: ~2x unrolled code in
+    the fori_loop body defeats Mosaic's pipelining long before the ~5%
+    op-count ceiling of the skipped force adds could pay). Evidence:
+    experiments/d2q9-overlap/regress_probe.csv. The obstacle half of the
+    idea is inapplicable by data inspection: EVERY shipped reference mask
+    has box walls on all four sides (plus a vertical line at 1024^2), so
+    no row band is ever obstacle-free. Both halves stay unconditional.
+    all_valid=True (static) is the kept piece: it drops the
+    ghost-exclusion `where` from the Sum|u| reduction — exact when the
+    caller's valid window is the whole grid, the single-chip case."""
     ny = f_hbm.shape[1]
     w = f_hbm.shape[-1]
     nb = ny // band
@@ -264,48 +263,29 @@ def _kernel(scal_ref, bflags_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
             valid_cells = ((band_rows >= valid_lo) & (band_rows < valid_hi)
                            & (cols >= col_lo) & (cols < col_hi))
 
-        def band_math(with_accel: bool):
-            state = state0
-            for j in range(1, k + 1):
-                n_rows = band + 2 * (k - j)
-                lo = (k - 1) - (k - j)
-                mask_j = maskb_wide[lo:lo + n_rows, :] != 0
-                if with_accel:
-                    rows_j = (bi * band - (k - j) + row_offset) + \
-                        jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
-                    amask_j = (jnp.mod(rows_j, global_ny)
-                               == accel_row).astype(dt)
-                else:
-                    amask_j = None
-                if mode == "stream_only":
-                    state = jnp.stack(streamed(state, n_rows))
-                    u = state[0]
-                else:
-                    state, u = d2q9.collide_fields(
-                        streamed(state, n_rows), mask_j, amask_j,
-                        omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
-                    )
-                interior = u[k - j:k - j + band, :]
-                if all_valid:
-                    tot_ref[0, j - 1] += jnp.sum(interior)
-                else:
-                    tot_ref[0, j - 1] += jnp.sum(
-                        jnp.where(valid_cells, interior, jnp.zeros((), dt)))
-            o_sl[slot] = state.astype(o_sl.dtype)
-
-        if mode == "stream_only":
-            band_math(False)
-            return 0
-
-        aflag = bflags_ref[0, bi]
-
-        @pl.when(aflag != 0)
-        def _():
-            band_math(True)
-
-        @pl.when(aflag == 0)
-        def _():
-            band_math(False)
+        state = state0
+        for j in range(1, k + 1):
+            n_rows = band + 2 * (k - j)
+            lo = (k - 1) - (k - j)
+            mask_j = maskb_wide[lo:lo + n_rows, :] != 0
+            rows_j = (bi * band - (k - j) + row_offset) + \
+                jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+            amask_j = (jnp.mod(rows_j, global_ny) == accel_row).astype(dt)
+            if mode == "stream_only":
+                state = jnp.stack(streamed(state, n_rows))
+                u = state[0]
+            else:
+                state, u = d2q9.collide_fields(
+                    streamed(state, n_rows), mask_j, amask_j,
+                    omega=omega, accel_w1=accel_w1, accel_w2=accel_w2,
+                )
+            interior = u[k - j:k - j + band, :]
+            if all_valid:
+                tot_ref[0, j - 1] += jnp.sum(interior)
+            else:
+                tot_ref[0, j - 1] += jnp.sum(
+                    jnp.where(valid_cells, interior, jnp.zeros((), dt)))
+        o_sl[slot] = state.astype(o_sl.dtype)
 
         return 0
 
@@ -337,13 +317,11 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
         accel_w1=accel_w1, accel_w2=accel_w2, accel_row=accel_row,
         all_valid=all_valid, mode=mode,
     )
-    nb = ny // band
     tot_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
     return pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec((1, 6), lambda: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb), lambda: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -357,9 +335,8 @@ def _build_step(shape, dtype_name, band, k_steps, omega, accel_w1, accel_w2,
             jax.ShapeDtypeStruct((1, k_steps), tot_dtype),
         ],
         # the whole point: the K-step-advanced lattice lands in the input
-        # buffer (one HBM stream instead of two). Index 2 = the f lattice
-        # (after the two SMEM scalar inputs).
-        input_output_aliases={2: 0},
+        # buffer (one HBM stream instead of two)
+        input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM((2, 9, band, nx), dtype),   # f band
             pltpu.VMEM((2, 9, 8, nx), dtype),      # prev 8-row halo
@@ -441,33 +418,15 @@ def stepk(
         None if vmem_limit is None else int(vmem_limit), str(mode),
         all_valid,
     )
-    gny = jnp.asarray(global_ny if global_ny is not None else ny, jnp.int32)
     scal = jnp.stack(
         [jnp.asarray(row_offset, jnp.int32),
          jnp.asarray(valid_rows[0], jnp.int32),
          jnp.asarray(valid_rows[1], jnp.int32),
-         gny,
+         jnp.asarray(global_ny if global_ny is not None else ny, jnp.int32),
          jnp.asarray(valid_cols[0], jnp.int32),
          jnp.asarray(valid_cols[1], jnp.int32)]
     ).reshape(1, 6)
-    # per-band accel flags: does the K-halo-extended row range of band bi
-    # touch the accelerated row (mod global ny)? Computed with jnp so a
-    # traced row_offset (sharded shards) works; nb is tiny.
-    # LBM_D2Q9_ACCEL_SPEC=0 forces every band onto the with-accel path —
-    # the A/B baseline for experiments/d2q9-overlap/accel_band.py (the
-    # SAME compiled kernel, so the delta isolates the fast path exactly).
-    nb = ny // band
-    if os.environ.get("LBM_D2Q9_ACCEL_SPEC", "1") == "0":
-        bflags = jnp.ones((1, nb), jnp.int32)
-    else:
-        ext = band + 2 * (k_steps - 1)
-        rows = (jnp.arange(nb, dtype=jnp.int32)[:, None] * band
-                - (k_steps - 1) + jnp.asarray(row_offset, jnp.int32)
-                + jnp.arange(ext, dtype=jnp.int32)[None, :])
-        bflags = (jnp.mod(rows, gny)
-                  == jnp.asarray(accel_row, jnp.int32)).any(axis=1)
-        bflags = bflags.astype(jnp.int32).reshape(1, nb)
-    f_new, tots = call(scal, bflags, f, mask_f)
+    f_new, tots = call(scal, f, mask_f)
     return f_new, tots[0]
 
 
