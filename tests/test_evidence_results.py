@@ -83,3 +83,22 @@ def test_regroup_audit_recorded_flat():
         assert float(r["parity_max_rel_err"]) < 4e-4
         ref = float(by[(case, "reference")]["mlups"])
         assert abs(float(r["mlups"]) / ref - 1.0) < 0.02  # flat
+
+
+def test_accel_specialization_negative_recorded():
+    """Round-4 VERDICT #1: the accel band-specialization attempt is
+    recorded as a measured NEGATIVE (d2q9-overlap/regress_probe.csv) and
+    the production kernel recovered after the revert: the specialized
+    kernel lost >25% at 1024^2 with the flags on OR off (the dual-branch
+    structure was the cost), and the post-revert r4fix rows are back at
+    the r3 level (1024^2 ~11.9k, 4096^2 ~15.2k)."""
+    rows = _read("d2q9-overlap", "regress_probe.csv")
+    by = {(r["variant"], r["n"]): float(r["mlups"]) for r in rows}
+    assert all(r["platform"] == "tpu" for r in rows)
+    r3 = by[("r3", "1024")]
+    assert r3 > 11500
+    assert by[("r4s1", "1024")] < 0.75 * r3   # the measured loss, flags on
+    assert by[("r4s0", "1024")] < 0.75 * r3   # ... and flags off
+    assert by[("r4fix", "1024")] > 0.95 * r3  # revert recovers
+    assert by[("r4fix", "2048")] > 13500      # large-grid headlines intact
+    assert by[("r4fix", "4096")] > 14500
