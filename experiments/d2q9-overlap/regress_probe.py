@@ -3,15 +3,16 @@
 probe (1024^2: 11.9k -> 8.3k MLUPS; 4096^2: 15.2k -> 7.8k).
 
 Variants, each in its own subprocess on the real TPU:
-  r3      — the pre-round-4 kernel (lbm_tpu/ops/_inplace_r3_tmp.py, a
-            verbatim snapshot of d2q9_pallas_inplace.py @ dae1289,
-            regenerated from git on demand)
-  r4s1    — the specialized kernel, LBM_D2Q9_ACCEL_SPEC=1 (per-band
-            pl.when routing; HISTORICAL — the specialization was reverted
-            after this probe, so on post-revert trees r4s1/r4s0 both
-            measure the current kernel)
-  r4s0    — same compiled kernel, every band forced onto the with-accel
-            branch
+  r3      — the pre-round-4 kernel (a verbatim snapshot of
+            d2q9_pallas_inplace.py @ dae1289, regenerated from git into
+            experiments/d2q9-overlap/_r3_snapshot.py on every run — never
+            trusted from disk, and never under lbm_tpu/)
+  r4s1    — HISTORICAL ONLY (refused without --allow-historical): the
+            specialized kernel, LBM_D2Q9_ACCEL_SPEC=1. The specialization
+            was reverted after this probe; no code reads the flag any
+            more, so on post-revert trees r4s1/r4s0 would silently
+            measure the current kernel under a misleading label.
+  r4s0    — HISTORICAL ONLY, same guard as r4s1
   r4fix   — the current (post-revert) kernel
 
 MEASURED (regress_probe.csv): r3 12,075 >> r4s1 8,275 ~= r4s0 8,110 at
@@ -36,18 +37,32 @@ sys.path.insert(0, REPO)
 
 
 R3_COMMIT = "dae1289"  # last pre-round-4 commit of d2q9_pallas_inplace.py
+HISTORICAL_VARIANTS = {"r4s0", "r4s1"}
 
 
-def _ensure_r3_snapshot() -> None:
-    path = os.path.join(REPO, "lbm_tpu", "ops", "_inplace_r3_tmp.py")
-    if os.path.exists(path):
-        return
+def _load_r3_snapshot():
+    """Regenerate the r3 baseline from git and import it from a file path.
+
+    Always rewritten from `git show` so a stale/hand-edited snapshot can
+    never masquerade as the r3 baseline, and kept OUT of the lbm_tpu
+    package (probe baselines are not product surface).
+    """
+    import importlib.util
+
+    path = os.path.join(HERE, "_r3_snapshot.py")
     src = subprocess.run(
         ["git", "-C", REPO, "show",
          f"{R3_COMMIT}:lbm_tpu/ops/d2q9_pallas_inplace.py"],
         capture_output=True, text=True, check=True).stdout
     with open(path, "w") as fh:
         fh.write(src)
+    # The snapshot was a package module (relative imports), so give it a
+    # package-qualified name; the file itself stays outside lbm_tpu/.
+    spec = importlib.util.spec_from_file_location(
+        "lbm_tpu.ops._r3_snapshot", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _worker(variant: str, n: int, iters: int) -> int:
@@ -60,8 +75,7 @@ def _worker(variant: str, n: int, iters: int) -> int:
     from lbm_tpu.utils import profiling
 
     if variant == "r3":
-        _ensure_r3_snapshot()
-        from lbm_tpu.ops import _inplace_r3_tmp as ip
+        ip = _load_r3_snapshot()
     else:
         from lbm_tpu.ops import d2q9_pallas_inplace as ip
 
@@ -101,7 +115,17 @@ def main() -> int:
     ap.add_argument("--sizes", default="1024,4096")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--variants", default="r3,r4fix")
+    ap.add_argument("--allow-historical", action="store_true",
+                    help="permit the r4s0/r4s1 labels even though the "
+                         "specialization they measured was reverted")
     args = ap.parse_args()
+    requested = set(args.variants.split(","))
+    if requested & HISTORICAL_VARIANTS and not args.allow_historical:
+        print("refusing r4s0/r4s1: LBM_D2Q9_ACCEL_SPEC is no longer read "
+              "(specialization reverted) — these labels would measure the "
+              "current kernel. Pass --allow-historical to override.",
+              file=sys.stderr)
+        return 1
     out = os.path.join(HERE, "regress_probe.csv")
     rows = []
     if not os.path.exists(out):

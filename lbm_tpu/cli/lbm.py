@@ -19,6 +19,13 @@ from __future__ import annotations
 
 import argparse
 
+# Must equal {'implicit'} | (halo.EXCHANGES.keys() - {'none'}) — locked by
+# tests/test_cli.py::test_strategy_choices_match_halo_exchanges so the CLI
+# and the library can't drift ('none' is a physically-wrong cost baseline
+# deliberately not exposed here).
+STRATEGY_CHOICES = ["implicit", "ppermute", "manytensors", "allgather",
+                    "naive"]
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="TPU-native D2Q9 LBM")
@@ -47,7 +54,7 @@ def main(argv=None) -> int:
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices for --engine sharded (default: all)")
     parser.add_argument("--strategy", default="ppermute",
-                        choices=["implicit", "ppermute", "allgather", "naive"],
+                        choices=STRATEGY_CHOICES,
                         help="halo-exchange strategy for --engine sharded "
                              "(rejected by --engine sharded-pallas unless "
                              "ppermute)")

@@ -234,3 +234,16 @@ def test_lbm_cli_sharded_overlap(tmp_path):
     fa = np.loadtxt(tmp_path / "final_state.dat")
     fb = np.loadtxt(tmp_path / "fused" / "final_state.dat")
     np.testing.assert_array_equal(fa, fb)
+
+
+def test_strategy_choices_match_halo_exchanges():
+    """Lock cli.lbm --strategy to the library strategy set (round-5 VERDICT
+    #7: the CLI silently omitted 'manytensors' while halo.EXCHANGES and
+    halo_bench both had it). The contract: the CLI exposes 'implicit' plus
+    every halo.EXCHANGES entry except the physically-wrong 'none'."""
+    from lbm_tpu.cli.lbm import STRATEGY_CHOICES
+    from lbm_tpu.parallel import halo
+
+    expected = {"implicit"} | (set(halo.EXCHANGES) - {"none"})
+    assert set(STRATEGY_CHOICES) == expected
+    assert len(STRATEGY_CHOICES) == len(set(STRATEGY_CHOICES))

@@ -245,7 +245,8 @@ def test_all_valid_reduction_matches_windowed():
     mask_f = mask.astype(jnp.float32)
     kw = dict(k_steps=k, accel_row=ny - 2, band=band, **KW)
     f_fast, tots_fast = d2q9_pallas_inplace.stepk(f, mask_f, **kw)
-    # jnp row bounds are traced -> defeats the static all_valid detection
+    # jax Array bounds (concrete, but not Python ints) fail _static_eq's
+    # isinstance(int) check -> defeats the static all_valid detection
     f_win, tots_win = d2q9_pallas_inplace.stepk(
         f, mask_f, valid_rows=(jnp.int32(0), jnp.int32(ny)), **kw)
     assert np.array_equal(np.asarray(f_fast), np.asarray(f_win))
