@@ -25,11 +25,19 @@ def main(argv=None) -> int:
     parser.add_argument("--accel", type=float, default=0.005)
     parser.add_argument("--engine", default="jax",
                         choices=["jax", "pallas", "pallas-inplace",
-                                 "sharded", "sharded-pallas", "native"],
+                                 "sharded", "sharded-pallas",
+                                 "sharded-pallas-zy", "native"],
                         help="'native' = serial C++ host oracle "
                              "(native/d3q19_serial.cpp, no JAX); "
                              "'pallas-inplace' = aliased one-stream kernel "
-                             "(fastest single-chip)")
+                             "(fastest single-chip); 'sharded-pallas-zy' = "
+                             "ghost-cell path on a (z, y) 2-AXIS device "
+                             "mesh (see --mesh-shape)")
+    parser.add_argument("--mesh-shape", type=int, nargs=2, default=None,
+                        metavar=("NZ", "NY"),
+                        help="sharded-pallas-zy only: devices along the z "
+                             "and y mesh axes (default: auto-factorised "
+                             "over all devices)")
     parser.add_argument("--overlap", action="store_true",
                         help="sharded-pallas only: overlap the ghost-plane "
                              "exchange with the interior kernel (even z "
@@ -72,6 +80,14 @@ def main(argv=None) -> int:
     cells = args.nz * args.ny * args.nx
     if args.overlap and args.engine != "sharded-pallas":
         parser.error("--overlap applies to --engine sharded-pallas only")
+    if args.mesh_shape is not None and args.engine != "sharded-pallas-zy":
+        parser.error("--mesh-shape applies to --engine sharded-pallas-zy "
+                     "only")
+    if args.engine == "sharded-pallas-zy" and (args.checkpoint_every
+                                               or args.resume):
+        parser.error("--checkpoint-every/--resume support engines "
+                     "jax|pallas|native|sharded-pallas (use the z-mesh "
+                     "sharded-pallas engine for checkpointed runs)")
     if args.overlap and (args.checkpoint_every or args.resume):
         parser.error("--overlap is not supported with checkpointed runs "
                      "(the chunked runner uses the fused exchange path)")
@@ -104,7 +120,9 @@ def main(argv=None) -> int:
     else:
         kw = dict(num_steps=args.num_steps, omega=args.omega,
                   density=args.density, accel=args.accel, engine=args.engine,
-                  num_devices=args.num_devices, overlap=args.overlap)
+                  num_devices=args.num_devices, overlap=args.overlap,
+                  mesh_shape=None if args.mesh_shape is None
+                  else tuple(args.mesh_shape))
         if args.engine != "native":
             f_final, av = d3q19.simulate(args.nz, args.ny, args.nx, **kw)
             np.asarray(av)  # compile + warm (nothing to warm for native)

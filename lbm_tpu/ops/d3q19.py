@@ -221,6 +221,7 @@ def simulate(
     k_steps: int | None = None,
     num_devices: int | None = None,
     overlap: bool = False,
+    mesh_shape: tuple | None = None,
 ):
     """Lid-driven-style 3-D run: accelerated plane at z = nz-2, walls at
     z = 0 and z = nz-1 (the 3-D analogue of the shipped 2-D configs).
@@ -235,7 +236,11 @@ def simulate(
     in-place family, 2 otherwise);
     engine='sharded' runs the jax step on a (z, y)-sharded mesh with
     XLA-implicit halo collectives (the 3-D multi-chip path — the winning
-    "implicit" strategy of the 2-D halo study applied to z/y planes)."""
+    "implicit" strategy of the 2-D halo study applied to z/y planes);
+    engine='sharded-pallas-zy' runs the ghost-cell + local-Pallas path on
+    a (z, y) 2-AXIS device mesh (mesh_shape=(n_z, n_y), auto-factorised
+    when omitted) — the 3-D analogue of the reference's rows x cols
+    partitioner (StructuredGridUtils.hpp:472-561)."""
     if overlap and engine != "sharded-pallas":
         raise ValueError(
             f"overlap=True is only implemented for engine='sharded-pallas' "
@@ -249,6 +254,18 @@ def simulate(
         return d3q19_native.simulate(
             nz, ny, nx, num_steps=num_steps, omega=omega, density=density,
             accel=accel, obstacle_mask=obstacle_mask, dtype=dtype)
+    if engine == "sharded-pallas-zy":
+        from ..parallel import pallas_sharded_3d
+
+        mesh = (pallas_sharded_3d.make_zy_mesh(*mesh_shape)
+                if mesh_shape is not None else None)
+        return pallas_sharded_3d.simulate_zy(
+            nz, ny, nx, num_steps=num_steps, omega=omega, density=density,
+            accel=accel,
+            obstacle_mask=None if obstacle_mask is None
+            else np.asarray(obstacle_mask),
+            dtype=dtype, k_steps=k_steps, mesh=mesh,
+        )
     if engine == "sharded-pallas":
         # dispatch before building the lattice: pallas_sharded_3d.simulate
         # constructs its own sharded state

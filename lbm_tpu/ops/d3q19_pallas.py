@@ -82,16 +82,25 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
             mnext_ref, out_ref, tot_ref, *, bz: int, k_steps: int,
             omega: float, density: float, accel: float, accel_plane: int,
             mode: str = "full", layout: str = "qmajor",
-            grid_ny: int | None = None):
+            grid_ny: int | None = None, all_valid: bool = False):
     # mode is DIAGNOSTIC ONLY (experiments/lbm3d-perf): 'stream_only' skips
     # the BGK collision, 'collide_no_roll' skips the (y,x) rolls — used to
     # attribute kernel time between memory movement, rolls and arithmetic.
     # Production paths always use 'full'.
+    #
+    # all_valid=True (static, single-chip) drops the ghost-exclusion
+    # `where` from the Sum|u| reduction — the same kept piece as the 2-D
+    # in-place kernel's (d2q9_pallas_inplace._kernel). When False, the
+    # (1,6) scal additionally windows y rows [row_lo, row_hi): ghost ROWS
+    # of a (z, y)-sharded block (parallel/pallas_sharded_3d.simulate_zy)
+    # duplicate a y-neighbour's cells and must not be double-counted.
     i = pl.program_id(0)
     global_nz = scal_ref[0, 0]
     plane_off = scal_ref[0, 1]   # local plane -> global plane (ghost blocks)
     valid_lo = scal_ref[0, 2]    # planes outside [valid_lo, valid_hi) are
     valid_hi = scal_ref[0, 3]    # ghost duplicates: excluded from Sum|u|
+    row_lo = scal_ref[0, 4]      # same for y rows of a (z, y)-shard
+    row_hi = scal_ref[0, 5]
     k = k_steps
     dt = jnp.float32 if f_ref.dtype == jnp.bfloat16 else f_ref.dtype
     # fused layout's refs are rank-3 (19, bz*ny, nx): ny comes in statically
@@ -194,11 +203,16 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
                 omega=omega, density=density, accel=accel,
             )
         interior = u[k - j : k - j + bz]
-        band_planes = i * bz + jax.lax.broadcasted_iota(
-            jnp.int32, (bz, 1, 1), 0)
-        valid = (band_planes >= valid_lo) & (band_planes < valid_hi)
-        tot_ref[0, j - 1] += jnp.sum(
-            jnp.where(valid, interior, jnp.zeros((), dt)))
+        if all_valid:
+            tot_ref[0, j - 1] += jnp.sum(interior)
+        else:
+            band_planes = i * bz + jax.lax.broadcasted_iota(
+                jnp.int32, (bz, 1, 1), 0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+            valid = ((band_planes >= valid_lo) & (band_planes < valid_hi)
+                     & (rows >= row_lo) & (rows < row_hi))
+            tot_ref[0, j - 1] += jnp.sum(
+                jnp.where(valid, interior, jnp.zeros((), dt)))
 
     if layout == "zmajor":
         out_ref[:] = jnp.transpose(state, (1, 0, 2, 3)).astype(out_ref.dtype)
@@ -211,7 +225,7 @@ def _kernel(scal_ref, f_ref, prev_ref, next_ref, mask_ref, mprev_ref,
 @functools.lru_cache(maxsize=32)
 def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
                 accel_plane, interpret, vmem_limit=None, mode="full",
-                layout="qmajor"):
+                layout="qmajor", all_valid=False):
     nz, ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if nz % bz:
@@ -230,7 +244,7 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
     kernel = functools.partial(
         _kernel, bz=bz, k_steps=k_steps, omega=omega, density=density,
         accel=accel, accel_plane=accel_plane, mode=mode, layout=layout,
-        grid_ny=ny,
+        grid_ny=ny, all_valid=all_valid,
     )
     k = k_steps
     if layout == "fused":
@@ -294,7 +308,7 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             f_spec,
             prev_spec,
             next_spec,
@@ -343,6 +357,7 @@ def stepk(
     layout: str = "qmajor",
     plane_offset: jax.Array | int = 0,
     valid_planes: tuple | None = None,
+    valid_rows: tuple | None = None,
     global_nz: int | None = None,
 ):
     """K fused 3-D timesteps. mask_f: (nz, ny, nx) {0,1}. Returns
@@ -355,7 +370,11 @@ def stepk(
     plane_offset / valid_planes / global_nz support ghost-extended z-shard
     blocks (parallel/pallas_sharded_3d.py): local plane p is global plane
     p + plane_offset (accel labels taken mod global_nz), and only local
-    planes in [valid_planes) contribute to the Sum|u|."""
+    planes in [valid_planes) contribute to the Sum|u|. valid_rows is the
+    y-axis analogue for (z, y)-sharded blocks (simulate_zy): only local y
+    rows in [valid_rows) contribute (ghost rows duplicate a y-neighbour's
+    cells). When both are None the reduction drops the exclusion `where`
+    entirely (the single-chip case)."""
     if layout == "zmajor":
         nz, _, ny, nx = f.shape
     else:
@@ -370,21 +389,26 @@ def stepk(
         raise ValueError("k_steps must divide nz and bz")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    all_valid = valid_planes is None and valid_rows is None
     call = _build_step(
         (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(k_steps),
         float(omega), float(density), float(accel), int(accel_plane),
         bool(interpret),
         None if vmem_limit is None else int(vmem_limit), str(mode),
-        str(layout),
+        str(layout), all_valid,
     )
     if valid_planes is None:
         valid_planes = (0, nz)
+    if valid_rows is None:
+        valid_rows = (0, ny)
     scal = jnp.stack(
         [jnp.asarray(global_nz if global_nz is not None else nz, jnp.int32),
          jnp.asarray(plane_offset, jnp.int32),
          jnp.asarray(valid_planes[0], jnp.int32),
-         jnp.asarray(valid_planes[1], jnp.int32)]
-    ).reshape(1, 4)
+         jnp.asarray(valid_planes[1], jnp.int32),
+         jnp.asarray(valid_rows[0], jnp.int32),
+         jnp.asarray(valid_rows[1], jnp.int32)]
+    ).reshape(1, 6)
     if by is not None:
         # (z, y)-blocked kernel: small blocks pipeline at ~2x the bandwidth
         # of z-slabs and leave VMEM headroom for K=4 (see module comment)
@@ -397,7 +421,7 @@ def stepk(
             (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(by),
             int(k_steps), float(omega), float(density), float(accel),
             int(accel_plane), bool(interpret),
-            None if vmem_limit is None else int(vmem_limit),
+            None if vmem_limit is None else int(vmem_limit), all_valid,
         )
         m = mask_f
         f_new, tots = call(scal, f, f, f, f, f, f, f, f, f,
@@ -474,13 +498,15 @@ def _blocked_kernel(scal_ref, f_ref, zp_ref, zn_ref, yp_ref, yn_ref,
                     mczpyp_ref, mczpyn_ref, mcznyp_ref, mcznyn_ref,
                     out_ref, tot_ref, *, bz: int, by: int, k_steps: int,
                     omega: float, density: float, accel: float,
-                    accel_plane: int):
+                    accel_plane: int, all_valid: bool = False):
     iz = pl.program_id(0)
     iy = pl.program_id(1)
     global_nz = scal_ref[0, 0]
     plane_off = scal_ref[0, 1]
     valid_lo = scal_ref[0, 2]
     valid_hi = scal_ref[0, 3]
+    row_lo = scal_ref[0, 4]
+    row_hi = scal_ref[0, 5]
     k = k_steps
     dt = jnp.float32 if f_ref.dtype == jnp.bfloat16 else f_ref.dtype
     nx = f_ref.shape[-1]
@@ -539,18 +565,25 @@ def _blocked_kernel(scal_ref, f_ref, zp_ref, zn_ref, yp_ref, yn_ref,
             omega=omega, density=density, accel=accel)
         state = state_list
         interior = u[k - j : k - j + bz, k - j : k - j + by]
-        band_planes = iz * bz + jax.lax.broadcasted_iota(
-            jnp.int32, (bz, 1, 1), 0)
-        valid = (band_planes >= valid_lo) & (band_planes < valid_hi)
-        tot_ref[0, j - 1] += jnp.sum(
-            jnp.where(valid, interior, jnp.zeros((), dt)))
+        if all_valid:
+            tot_ref[0, j - 1] += jnp.sum(interior)
+        else:
+            band_planes = iz * bz + jax.lax.broadcasted_iota(
+                jnp.int32, (bz, 1, 1), 0)
+            rows = iy * by + jax.lax.broadcasted_iota(
+                jnp.int32, (1, by, 1), 1)
+            valid = ((band_planes >= valid_lo) & (band_planes < valid_hi)
+                     & (rows >= row_lo) & (rows < row_hi))
+            tot_ref[0, j - 1] += jnp.sum(
+                jnp.where(valid, interior, jnp.zeros((), dt)))
 
     out_ref[:] = state.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_blocked(shape, dtype_name, bz, by, k_steps, omega, density,
-                   accel, accel_plane, interpret, vmem_limit=None):
+                   accel, accel_plane, interpret, vmem_limit=None,
+                   all_valid=False):
     nz, ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if nz % bz or ny % by or by % 8:
@@ -568,7 +601,8 @@ def _build_blocked(shape, dtype_name, bz, by, k_steps, omega, density,
 
     kernel = functools.partial(
         _blocked_kernel, bz=bz, by=by, k_steps=k, omega=omega,
-        density=density, accel=accel, accel_plane=accel_plane)
+        density=density, accel=accel, accel_plane=accel_plane,
+        all_valid=all_valid)
 
     def S(zdim, ydim, zmap, ymap, lead=True):
         if lead:
@@ -589,7 +623,7 @@ def _build_blocked(shape, dtype_name, bz, by, k_steps, omega, density,
     yn = lambda iy: ym(iy, +1)
 
     in_specs = [
-        pl.BlockSpec((1, 4), lambda iz, iy: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 6), lambda iz, iy: (0, 0), memory_space=pltpu.SMEM),
         S(bz, by, zc, yc), S(k, by, zp, yc), S(k, by, zn, yc),
         S(bz, 8, zc, yp), S(bz, 8, zc, yn),
         S(k, 8, zp, yp), S(k, 8, zp, yn), S(k, 8, zn, yp), S(k, 8, zn, yn),

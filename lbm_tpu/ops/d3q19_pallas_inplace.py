@@ -51,10 +51,14 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
             f_sl, p_sl, n_sl, m_sl, mp_sl, mn_sl, o_sl, wrap_sl,
             f_sem, p_sem, n_sem, m_sem, mp_sem, mn_sem, o_sem, wrap_sem,
             *, bz: int, k_steps: int, omega: float, density: float,
-            accel: float, accel_plane: int, mode: str = "full"):
+            accel: float, accel_plane: int, mode: str = "full",
+            all_valid: bool = False):
     """All z-slabs of K fused timesteps, explicitly pipelined, written back
-    in place. scal_ref carries (global_nz, plane_off, valid_lo, valid_hi)
-    exactly as in d3q19_pallas._kernel; mode is DIAGNOSTIC ONLY."""
+    in place. scal_ref carries (global_nz, plane_off, valid_lo, valid_hi,
+    row_lo, row_hi) exactly as in d3q19_pallas._kernel (the y-row window
+    excludes ghost ROWS of a (z, y)-sharded block from the Sum|u|;
+    all_valid=True drops the exclusion entirely — the single-chip case);
+    mode is DIAGNOSTIC ONLY."""
     nz = f_hbm.shape[1]
     ny = f_hbm.shape[2]
     nx = f_hbm.shape[3]
@@ -66,6 +70,8 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
     plane_off = scal_ref[0, 1]
     valid_lo = scal_ref[0, 2]
     valid_hi = scal_ref[0, 3]
+    row_lo = scal_ref[0, 4]
+    row_hi = scal_ref[0, 5]
 
     def f_dmas(slot, bi):
         prev0 = jax.lax.rem(bi * bz - k + nz, nz)
@@ -206,11 +212,17 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
                     omega=omega, density=density, accel=accel,
                 )
             interior = u[k - j:k - j + bz]
-            band_planes = bi * bz + jax.lax.broadcasted_iota(
-                jnp.int32, (bz, 1, 1), 0)
-            valid = (band_planes >= valid_lo) & (band_planes < valid_hi)
-            tot_ref[0, j - 1] += jnp.sum(
-                jnp.where(valid, interior, jnp.zeros((), dt)))
+            if all_valid:
+                tot_ref[0, j - 1] += jnp.sum(interior)
+            else:
+                band_planes = bi * bz + jax.lax.broadcasted_iota(
+                    jnp.int32, (bz, 1, 1), 0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+                valid = ((band_planes >= valid_lo)
+                         & (band_planes < valid_hi)
+                         & (rows >= row_lo) & (rows < row_hi))
+                tot_ref[0, j - 1] += jnp.sum(
+                    jnp.where(valid, interior, jnp.zeros((), dt)))
 
         o_sl[slot] = state.astype(o_sl.dtype)
         return 0
@@ -223,7 +235,8 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
-                accel_plane, interpret, vmem_limit=None, mode="full"):
+                accel_plane, interpret, vmem_limit=None, mode="full",
+                all_valid=False):
     nz, ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if nz % bz:
@@ -240,11 +253,12 @@ def _build_step(shape, dtype_name, bz, k_steps, omega, density, accel,
     kernel = functools.partial(
         _kernel, bz=bz, k_steps=k_steps, omega=omega, density=density,
         accel=accel, accel_plane=accel_plane, mode=mode,
+        all_valid=all_valid,
     )
     return pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec((1, 4), lambda: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -299,6 +313,7 @@ def stepk(
     mode: str = "full",
     plane_offset: jax.Array | int = 0,
     valid_planes: tuple | None = None,
+    valid_rows: tuple | None = None,
     global_nz: int | None = None,
 ):
     """K fused 3-D timesteps in one in-place HBM pass. Same contract as
@@ -317,20 +332,26 @@ def stepk(
             bz = max(b for b in range(1, nz) if nz % b == 0 and nz // b >= 2)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    all_valid = valid_planes is None and valid_rows is None
     if valid_planes is None:
         valid_planes = (0, nz)
+    if valid_rows is None:
+        valid_rows = (0, ny)
     call = _build_step(
         (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(k_steps),
         float(omega), float(density), float(accel), int(accel_plane),
         bool(interpret),
         None if vmem_limit is None else int(vmem_limit), str(mode),
+        all_valid,
     )
     scal = jnp.stack(
         [jnp.asarray(global_nz if global_nz is not None else nz, jnp.int32),
          jnp.asarray(plane_offset, jnp.int32),
          jnp.asarray(valid_planes[0], jnp.int32),
-         jnp.asarray(valid_planes[1], jnp.int32)]
-    ).reshape(1, 4)
+         jnp.asarray(valid_planes[1], jnp.int32),
+         jnp.asarray(valid_rows[0], jnp.int32),
+         jnp.asarray(valid_rows[1], jnp.int32)]
+    ).reshape(1, 6)
     f_new, tots = call(scal, f, mask_f)
     return f_new, tots[0]
 

@@ -151,11 +151,14 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
             f_sem, m_sem, o_sem, wrap_sem,
             *, bz: int, by: int, k_steps: int, omega: float,
             density: float, accel: float, accel_plane: int,
-            mode: str = "full"):
+            mode: str = "full", all_valid: bool = False):
     """All (z, y)-blocks of K fused timesteps, explicitly pipelined,
     written back in place row-by-row. f_hbm/out_hbm are the 5-D
     (19, nz, nby, by, nx) views; scal_ref carries
-    (global_nz, plane_off, valid_lo, valid_hi); mode is DIAGNOSTIC ONLY."""
+    (global_nz, plane_off, valid_lo, valid_hi, row_lo, row_hi) exactly as
+    in d3q19_pallas._kernel (the y-row window excludes ghost ROWS of a
+    (z, y)-sharded block from the Sum|u|; all_valid=True drops the
+    exclusion — the single-chip case); mode is DIAGNOSTIC ONLY."""
     nz = f_hbm.shape[1]
     nby = f_hbm.shape[2]
     nx = f_hbm.shape[4]
@@ -168,6 +171,8 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
     plane_off = scal_ref[0, 1]
     valid_lo = scal_ref[0, 2]
     valid_hi = scal_ref[0, 3]
+    row_lo = scal_ref[0, 4]
+    row_hi = scal_ref[0, 5]
 
     def _idx(j):
         iz = jax.lax.div(j, nby)
@@ -378,11 +383,18 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
                     streamed(state, n_z, n_y), mask_j, amask_j,
                     omega=omega, density=density, accel=accel)
             interior = u[k - jj: k - jj + bz, k - jj: k - jj + by]
-            band_planes = iz * bz + jax.lax.broadcasted_iota(
-                jnp.int32, (bz, 1, 1), 0)
-            valid = (band_planes >= valid_lo) & (band_planes < valid_hi)
-            tot_ref[0, jj - 1] += jnp.sum(
-                jnp.where(valid, interior, jnp.zeros((), dt)))
+            if all_valid:
+                tot_ref[0, jj - 1] += jnp.sum(interior)
+            else:
+                band_planes = iz * bz + jax.lax.broadcasted_iota(
+                    jnp.int32, (bz, 1, 1), 0)
+                rows = iy * by + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, by, 1), 1)
+                valid = ((band_planes >= valid_lo)
+                         & (band_planes < valid_hi)
+                         & (rows >= row_lo) & (rows < row_hi))
+                tot_ref[0, jj - 1] += jnp.sum(
+                    jnp.where(valid, interior, jnp.zeros((), dt)))
 
         o_ring[out_slot] = state.astype(o_ring.dtype)
         return 0
@@ -398,7 +410,8 @@ def _kernel(scal_ref, f_hbm, mask_hbm, out_hbm, tot_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_step(shape, dtype_name, bz, by, k_steps, omega, density, accel,
-                accel_plane, interpret, vmem_limit=None, mode="full"):
+                accel_plane, interpret, vmem_limit=None, mode="full",
+                all_valid=False):
     nz, ny, nx = shape
     dtype = jnp.dtype(dtype_name)
     if nz % bz or ny % by or by % 8:
@@ -420,6 +433,7 @@ def _build_step(shape, dtype_name, bz, by, k_steps, omega, density, accel,
     kernel = functools.partial(
         _kernel, bz=bz, by=by, k_steps=k, omega=omega, density=density,
         accel=accel, accel_plane=accel_plane, mode=mode,
+        all_valid=all_valid,
     )
 
     def V(c, z, y):
@@ -428,7 +442,7 @@ def _build_step(shape, dtype_name, bz, by, k_steps, omega, density, accel,
     return pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec((1, 4), lambda: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -477,6 +491,7 @@ def stepk(
     mode: str = "full",
     plane_offset: jax.Array | int = 0,
     valid_planes: tuple | None = None,
+    valid_rows: tuple | None = None,
     global_nz: int | None = None,
 ):
     """K fused 3-D timesteps in one in-place blocked HBM pass. Same
@@ -490,20 +505,26 @@ def stepk(
         by = cby if by is None else by
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    all_valid = valid_planes is None and valid_rows is None
     if valid_planes is None:
         valid_planes = (0, nz)
+    if valid_rows is None:
+        valid_rows = (0, ny)
     call = _build_step(
         (nz, ny, nx), jnp.dtype(f.dtype).name, int(bz), int(by),
         int(k_steps), float(omega), float(density), float(accel),
         int(accel_plane), bool(interpret),
         None if vmem_limit is None else int(vmem_limit), str(mode),
+        all_valid,
     )
     scal = jnp.stack(
         [jnp.asarray(global_nz if global_nz is not None else nz, jnp.int32),
          jnp.asarray(plane_offset, jnp.int32),
          jnp.asarray(valid_planes[0], jnp.int32),
-         jnp.asarray(valid_planes[1], jnp.int32)]
-    ).reshape(1, 4)
+         jnp.asarray(valid_planes[1], jnp.int32),
+         jnp.asarray(valid_rows[0], jnp.int32),
+         jnp.asarray(valid_rows[1], jnp.int32)]
+    ).reshape(1, 6)
     nby = ny // int(by)
     f5 = f.reshape(19, nz, nby, int(by), nx)
     m5 = mask_f.reshape(nz, nby, int(by), nx)

@@ -29,6 +29,8 @@ from ..ops import (d3q19, d3q19_pallas, d3q19_pallas_inplace,
 from . import halo as halo_lib, mesh as mesh_lib
 
 ROW = mesh_lib.ROW_AXIS
+COL = mesh_lib.COL_AXIS
+GHOST_Y = 8  # y ghost band = the kernels' 8-row sublane halo granularity
 
 
 def _local_stepk(local_engine: str, k_steps: int, bz):
@@ -368,5 +370,259 @@ def simulate(
     )
     if pad:
         f_final = f_final[:, :nz]
+    num_free = nz * ny * nx - int(obstacle_np.sum())
+    return f_final, tot / jnp.asarray(num_free, f.dtype)
+
+
+# ---------------------------------------------------------------------------
+# (z, y) 2-axis mesh decomposition.
+#
+# The 3-D instantiation of the reference's rows x cols domain partitioner
+# (grids::partitionForIpus, StructuredGridUtils.hpp:472-561) and of this
+# repo's 2-D 2-wave scheme (pallas_sharded.make_chunk_fn): shard BOTH the
+# z-planes (mesh axis 'ry') and the y-rows (mesh axis 'rx'). Wave 1
+# exchanges 8-row y ghost bands along 'rx'; wave 2 exchanges K-plane z
+# ghosts of the y-EXTENDED block along 'ry', so the (z, y) ghost corners
+# ride along. Motivation beyond parity: on plane-heavy shapes z-only
+# sharding goes kernel-infeasible at scale (e.g. 32x256x256 on 8 shards
+# leaves 4-plane z-shards that cannot carry a K=3 ghost), and a 2-axis
+# split halves the boundary area per device.
+# ---------------------------------------------------------------------------
+
+
+def make_zy_mesh(n_z: int, n_y: int, devices=None) -> Mesh:
+    """(z, y) device mesh: axis 'ry' shards z-planes, 'rx' shards y-rows
+    (reusing the repo-wide mesh axis names so halo_lib.ring_shift and the
+    2-D tooling carry over)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices[: n_z * n_y]).reshape(n_z, n_y),
+                (ROW, COL))
+
+
+def plan_rows_y(ny: int, n_y_shards: int) -> tuple[int, int]:
+    """(shard_rows, pad_rows) for the y axis: shard heights must be a
+    multiple of 8 (the kernels' sublane halo block), uneven ny pads the
+    LAST y-shard — pad-and-mask exactly as plan_planes does for z."""
+    h = -(-ny // n_y_shards)
+    h = -(-h // GHOST_Y) * GHOST_Y
+    if ny - (n_y_shards - 1) * h < GHOST_Y:
+        raise ValueError(
+            f"{ny} rows on {n_y_shards} y-shards: the last shard would hold "
+            f"< {GHOST_Y} valid rows (8-aligned shard height {h}); use "
+            "fewer y-shards")
+    return h, n_y_shards * h - ny
+
+
+def extended_mask_zy(obstacle_mask: np.ndarray, n_z: int, n_y: int,
+                     ghost: int) -> np.ndarray:
+    """Per-shard (z, y) ghost-extended obstacle masks stacked to
+    (n_z*(hz+2g), n_y*(hy+16), nx) so P('ry','rx',None) hands each shard
+    its block. Each extended cell maps to the REAL-periodic global cell;
+    dead padding planes/rows (uneven nz/ny) are marked as obstacles
+    (excluded from Sum|u|, dynamics bounded by rebound)."""
+    nz, ny, nx = obstacle_mask.shape
+    hz, _ = plan_planes(nz, n_z, ghost)
+    hy, _ = plan_rows_y(ny, n_y)
+    z_blocks = []
+    for s in range(n_z):
+        vhz = min(hz, nz - s * hz)
+        planes = (s * hz - ghost + np.arange(hz + 2 * ghost)) % nz
+        y_blocks = []
+        for t in range(n_y):
+            vhy = min(hy, ny - t * hy)
+            rows = (t * hy - GHOST_Y + np.arange(hy + 2 * GHOST_Y)) % ny
+            blk = obstacle_mask[np.ix_(planes, rows)].copy()
+            blk[2 * ghost + vhz:, :] = True   # dead padding planes
+            blk[:, 2 * GHOST_Y + vhy:] = True  # dead padding rows
+            y_blocks.append(blk)
+        z_blocks.append(np.concatenate(y_blocks, axis=1))
+    return np.concatenate(z_blocks, axis=0)
+
+
+def make_zy_chunk_fn(
+    mesh: Mesh,
+    *,
+    k_steps: int,
+    omega: float,
+    density: float,
+    accel: float,
+    accel_plane: int,
+    nz: int,
+    ny: int,
+    bz: int | None = None,
+    interpret: bool | None = None,
+    vmem_limit: int | None = None,
+    local_engine: str = "inplace",
+):
+    """Jittable fn advancing the (z, y)-sharded state K steps:
+    (f (19,nz,ny,nx) P(None,'ry','rx',None), mask_ext P('ry','rx',None))
+    -> (f', tot_u (K,) replicated).
+
+    Wave 1: 8-row y ghost bands along 'rx'. Wave 2: K-plane z ghosts of
+    the y-extended block along 'ry' (corners ride along — the 2-D 2-wave
+    corner scheme, halo.exchange_halos_2wave). Both axes support uneven
+    grids via pad-and-mask with the torus wrapping at the last shard's
+    valid edge. The local kernel is the in-place aliased family with the
+    usual two-stream fallback (_local_stepk); its Sum|u| windows exclude
+    BOTH ghost planes and ghost rows (valid_planes/valid_rows)."""
+    if k_steps > GHOST_Y:
+        raise ValueError(
+            f"k_steps must be <= {GHOST_Y} (the y ghost band absorbs one "
+            "row of wavefront per step)")
+    n_z, n_y = mesh.devices.shape
+    g = k_steps
+    hz, pad_z = plan_planes(nz, n_z, g)
+    hy, pad_y = plan_rows_y(ny, n_y)
+    stepk = _local_stepk(local_engine, k_steps, bz)
+
+    def local_chunk(f_loc, mask_ext_f):
+        _, _, _, nx = f_loc.shape
+
+        # wave 1 (y rows along 'rx'): 8-row edge bands. With uneven ny the
+        # torus wraps at the last shard's valid edge: it sends its top
+        # valid 8 rows and the incoming east ghost is written right after
+        # the valid rows (a no-op position for unpadded shards).
+        is_last_y = jax.lax.axis_index(COL) == n_y - 1
+        vhy = hy - jnp.where(is_last_y, pad_y, 0)
+        if pad_y:
+            east_band = jax.lax.dynamic_slice(
+                f_loc, (0, 0, vhy - GHOST_Y, 0), (19, hz, GHOST_Y, nx))
+        else:
+            east_band = f_loc[:, :, -GHOST_Y:]
+        ghost_w = halo_lib.ring_shift(east_band, COL, +1)
+        ghost_e = halo_lib.ring_shift(f_loc[:, :, :GHOST_Y], COL, -1)
+        ext_y = jnp.concatenate([ghost_w, f_loc, ghost_e], axis=2)
+        if pad_y:
+            ext_y = jax.lax.dynamic_update_slice(
+                ext_y, ghost_e, (0, 0, vhy + GHOST_Y, 0))
+
+        # wave 2 (z planes along 'ry') on the y-extended block: the K-plane
+        # ghosts carry the y ghosts of the z-neighbour — the corners.
+        is_last_z = jax.lax.axis_index(ROW) == n_z - 1
+        vhz = hz - jnp.where(is_last_z, pad_z, 0)
+        ny_ext = hy + 2 * GHOST_Y
+        if pad_z:
+            top_band = jax.lax.dynamic_slice(
+                ext_y, (0, vhz - g, 0, 0), (19, g, ny_ext, nx))
+        else:
+            top_band = ext_y[:, -g:]
+        ghost_s = halo_lib.ring_shift(top_band, ROW, +1)
+        ghost_n = halo_lib.ring_shift(ext_y[:, :g], ROW, -1)
+        ext = jnp.concatenate([ghost_s, ext_y, ghost_n], axis=1)
+        if pad_z:
+            ext = jax.lax.dynamic_update_slice(
+                ext, ghost_n, (0, vhz + g, 0, 0))
+
+        shard_z0 = jax.lax.axis_index(ROW).astype(jnp.int32) * hz
+        ext_new, tots = stepk(
+            ext, mask_ext_f, k_steps=k_steps, omega=omega, density=density,
+            accel=accel, accel_plane=accel_plane, interpret=interpret,
+            vmem_limit=vmem_limit,
+            plane_offset=shard_z0 - g,
+            valid_planes=(g, g + vhz),
+            valid_rows=(GHOST_Y, GHOST_Y + vhy),
+            global_nz=nz,
+        )
+        f_new = ext_new[:, g : g + hz, GHOST_Y : GHOST_Y + hy]
+        return f_new, jax.lax.psum(tots, (ROW, COL))
+
+    return jax.shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(P(None, ROW, COL, None), P(ROW, COL, None)),
+        out_specs=(P(None, ROW, COL, None), P()),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "num_steps", "k_steps", "omega", "density",
+                     "accel", "accel_plane", "nz", "ny", "bz", "interpret",
+                     "vmem_limit", "local_engine"),
+)
+def run_zy(
+    f: jax.Array,
+    mask_ext_f: jax.Array,
+    *,
+    mesh: Mesh,
+    num_steps: int,
+    k_steps: int,
+    omega: float,
+    density: float,
+    accel: float,
+    accel_plane: int,
+    nz: int,
+    ny: int,
+    bz: int | None = None,
+    interpret: bool | None = None,
+    vmem_limit: int | None = None,
+    local_engine: str = "inplace",
+):
+    if num_steps % k_steps:
+        raise ValueError("num_steps must be a multiple of k_steps")
+    chunk = make_zy_chunk_fn(
+        mesh, k_steps=k_steps, omega=omega, density=density, accel=accel,
+        accel_plane=accel_plane, nz=nz, ny=ny, bz=bz, interpret=interpret,
+        vmem_limit=vmem_limit, local_engine=local_engine,
+    )
+
+    def body(carry, _):
+        f_new, tots = chunk(carry, mask_ext_f)
+        return f_new, tots
+
+    f_final, tots = jax.lax.scan(body, f, None, length=num_steps // k_steps)
+    return f_final, tots.reshape(num_steps)
+
+
+def simulate_zy(
+    nz: int, ny: int, nx: int, *,
+    num_steps: int,
+    omega: float = 1.85,
+    density: float = 0.1,
+    accel: float = 0.005,
+    obstacle_mask=None,
+    dtype=np.float32,
+    mesh: Mesh | None = None,
+    k_steps: int = 2,
+    bz: int | None = None,
+    local_engine: str = "inplace",
+):
+    """Full 3-D distributed simulation on the (z, y) 2-axis mesh. Same
+    contract as d3q19.simulate / pallas_sharded_3d.simulate; both axes
+    support uneven grids via pad-and-mask."""
+    if mesh is None:
+        n = len(jax.devices())
+        n_z, n_y = mesh_lib.best_factorisation(
+            n, nz, ny, require_even=False, for_padding=True)
+        mesh = make_zy_mesh(n_z, n_y)
+    n_z, n_y = mesh.devices.shape
+    if obstacle_mask is None:
+        obstacle_mask = np.zeros((nz, ny, nx), bool)
+        obstacle_mask[0] = True
+        obstacle_mask[-1] = True
+    obstacle_np = np.asarray(obstacle_mask)
+
+    hz, pad_z = plan_planes(nz, n_z, k_steps)
+    hy, pad_y = plan_rows_y(ny, n_y)
+    # the initial state is uniform equilibrium, so padded cells (dead,
+    # masked as obstacles) start at the same equilibrium fill
+    f_np = np.asarray(d3q19.initial_distributions(
+        nz + pad_z, ny + pad_y, nx, density, dtype))
+    f = jax.device_put(
+        jnp.asarray(f_np), NamedSharding(mesh, P(None, ROW, COL, None)),
+    )
+    mask_ext_f = jax.device_put(
+        jnp.asarray(extended_mask_zy(obstacle_np, n_z, n_y, k_steps),
+                    f.dtype),
+        NamedSharding(mesh, P(ROW, COL, None)),
+    )
+    f_final, tot = run_zy(
+        f, mask_ext_f, mesh=mesh, num_steps=num_steps, k_steps=k_steps,
+        omega=omega, density=density, accel=accel, accel_plane=nz - 2,
+        nz=nz, ny=ny, bz=bz, local_engine=local_engine,
+    )
+    f_final = f_final[:, :nz, :ny]
     num_free = nz * ny * nx - int(obstacle_np.sum())
     return f_final, tot / jnp.asarray(num_free, f.dtype)

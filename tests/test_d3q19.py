@@ -126,6 +126,65 @@ def test_ghost_plane_pallas_sharded_matches_jax(configs):
                                    err_msg=f"shards={n_shards} k={k}")
 
 
+@pytest.mark.parametrize("mesh_shape,nz,ny,k", [
+    ((2, 4), 16, 32, 2),   # even both axes, full 8-device mesh
+    ((2, 3), 22, 40, 2),   # uneven BOTH axes: z pads 2 planes, y pads 8 rows
+    pytest.param((2, 2), 16, 32, 3, marks=pytest.mark.slow),  # K=3 +
+    # ghost-alignment z-padding (hz=9 on 16 planes)
+])
+def test_zy_mesh_pallas_sharded_matches_jax(mesh_shape, nz, ny, k):
+    """The (z, y) 2-AXIS mesh decomposition (2-wave ghost exchange +
+    local K-step Pallas kernel, pad-and-mask on both axes) reproduces the
+    single-device run: STATE bit-identical, Sum|u| within f32
+    reduction-order noise of the per-shard psum partials."""
+    import jax
+
+    if len(jax.devices()) < mesh_shape[0] * mesh_shape[1]:
+        pytest.skip("needs 8 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    nx = 128
+    steps = 2 * k
+    f_ref, av_ref = d3q19.simulate(nz, ny, nx, num_steps=steps)
+    mesh = pallas_sharded_3d.make_zy_mesh(*mesh_shape)
+    f_sh, av_sh = pallas_sharded_3d.simulate_zy(
+        nz, ny, nx, num_steps=steps, mesh=mesh, k_steps=k)
+    np.testing.assert_array_equal(
+        np.asarray(f_sh), np.asarray(f_ref),
+        err_msg=f"mesh={mesh_shape} k={k}")
+    np.testing.assert_allclose(
+        np.asarray(av_sh), np.asarray(av_ref), rtol=5e-5,
+        err_msg=f"mesh={mesh_shape} k={k}")
+
+
+def test_zy_engine_dispatch_and_rejections():
+    """simulate(engine='sharded-pallas-zy') routes to the 2-axis path;
+    too-thin y-shards raise the pad-and-mask feasibility error."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from lbm_tpu.parallel import pallas_sharded_3d
+
+    f_ref, av_ref = d3q19.simulate(16, 32, 128, num_steps=4)
+    f_sh, av_sh = d3q19.simulate(16, 32, 128, num_steps=4,
+                                 engine="sharded-pallas-zy",
+                                 mesh_shape=(2, 2))
+    np.testing.assert_array_equal(np.asarray(f_sh), np.asarray(f_ref))
+    np.testing.assert_allclose(np.asarray(av_sh), np.asarray(av_ref),
+                               rtol=5e-5)
+    # 12 rows over 4 y-shards: last shard would hold < 8 valid rows
+    with pytest.raises(ValueError, match="y-shards"):
+        pallas_sharded_3d.simulate_zy(
+            16, 12, 128, num_steps=4,
+            mesh=pallas_sharded_3d.make_zy_mesh(1, 4), k_steps=2)
+    # K deeper than the 8-row y ghost band
+    with pytest.raises(ValueError, match="y ghost band"):
+        pallas_sharded_3d.make_zy_chunk_fn(
+            pallas_sharded_3d.make_zy_mesh(1, 2), k_steps=9, omega=1.85,
+            density=0.1, accel=0.005, accel_plane=14, nz=16, ny=32)
+
+
 def test_overlap_chunk_matches_fused_and_global():
     """The communication/compute-overlapped chunk (interior kernel issued
     before the ghosts land + two 3K-plane boundary kernels) computes the

@@ -1,12 +1,18 @@
-"""Randomised cross-engine parity: the Pallas kernel must agree with the
-pure-JAX engine across random grid shapes, bands, K depths, obstacle layouts
-and accelerated-row positions (stable equilibrium+perturbation states)."""
+"""Randomised cross-engine parity: every production kernel must agree with
+the pure-JAX engine across random grid shapes, bands, K depths, obstacle
+layouts and accelerated-row positions (stable equilibrium+perturbation
+states). The in-place engines' correctness machinery — delayed write-back
+ordering, wraparound snapshot, slab/blocked routing — gets randomized
+coverage here on top of its directed tests (the spec analogue of the
+reference's exhaustive codelet corner sweeps, test/codelets/main.cpp)."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from lbm_tpu.ops import d2q9, d2q9_pallas, d2q9_pallas_manual
+from lbm_tpu.ops import (d2q9, d2q9_pallas, d2q9_pallas_inplace,
+                         d2q9_pallas_manual, d3q19, d3q19_pallas_inplace,
+                         d3q19_pallas_inplace_blocked)
 
 CASES = list(range(8))
 
@@ -57,3 +63,118 @@ def test_random_config_parity(seed):
         assert np.array_equal(np.asarray(f_man), np.asarray(f_pl)), (
             f"manual!=auto ny={ny} nx={nx} band={band} k={k}")
         assert np.array_equal(np.asarray(tots_man), np.asarray(tots))
+
+
+@pytest.mark.parametrize("seed", CASES)
+def test_random_config_parity_inplace(seed):
+    """The PRODUCTION d2q9 engine (aliased in-place write-back): random
+    band/K/shape/obstacles, accel_row forced to the wrap edges (0 and
+    ny-1) on alternating seeds — exactly the machinery the delayed flush
+    + rows-[0,8) wraparound snapshot must get right."""
+    rng = np.random.default_rng(2000 + seed)
+    ny = 8 * int(rng.integers(2, 9))          # 16..64
+    nx = 128 * int(rng.integers(1, 3))        # 128 or 256
+    bands = [b for b in (8, 16, 24, 32)
+             if ny % b == 0 and ny // b >= 2]  # pipeline needs >= 2 bands
+    band = int(rng.choice(bands))
+    k = int(rng.choice([1, 2, 3, 4, 6, 8]))
+    steps = k * int(rng.integers(1, 3))
+    accel_row = (0, ny - 1, int(rng.integers(0, ny)))[seed % 3]
+    omega = float(rng.uniform(0.6, 1.9))
+    w1 = float(rng.uniform(0, 1e-4))
+    w2 = w1 / 4
+
+    f = (0.1 / 9) * (1 + 0.02 * rng.uniform(-1, 1, size=(9, ny, nx)))
+    f = f.astype(np.float32)
+    mask = rng.uniform(size=(ny, nx)) < 0.1
+
+    amask = d2q9.accel_row_mask(ny, nx, accel_row)
+    f_ref = jnp.asarray(f)
+    tots_ref = []
+    for _ in range(steps):
+        f_ref, t = d2q9.step(f_ref, jnp.asarray(mask), amask,
+                             omega=omega, accel_w1=w1, accel_w2=w2)
+        tots_ref.append(float(t))
+
+    f_ip, tots_ip = d2q9_pallas_inplace.run(
+        jnp.asarray(f), jnp.asarray(mask, np.float32), num_steps=steps,
+        omega=omega, accel_w1=w1, accel_w2=w2, accel_row=accel_row,
+        band=band, k_steps=k,
+    )
+    np.testing.assert_allclose(np.asarray(f_ip), np.asarray(f_ref),
+                               rtol=2e-4, atol=1e-6,
+                               err_msg=f"ny={ny} nx={nx} band={band} k={k} "
+                                       f"steps={steps} accel_row={accel_row}")
+    np.testing.assert_allclose(np.asarray(tots_ip), tots_ref, rtol=2e-4)
+
+
+D3_KW = dict(omega=1.85, density=0.1, accel=0.005)
+
+
+@pytest.mark.parametrize("seed", CASES)
+def test_random_config_parity_d3q19_inplace(seed):
+    """Both PRODUCTION 3-D kernels: even seeds fuzz the z-slab in-place
+    kernel at random (nz, bz, K) including non-power-of-two nz; odd seeds
+    the (z, y)-blocked in-place kernel at random (bz, by, K). Both vs the
+    pure-JAX engine, with the two-stream kernel's routing left to
+    choose_k on a final smoke config."""
+    rng = np.random.default_rng(3000 + seed)
+    blocked = seed % 2 == 1
+    ny = 8 * int(rng.integers(1, 4))          # 8..24
+    nx = 128
+    if blocked:
+        nz = int(rng.choice([4, 8, 12]))
+        bz = int(rng.choice([b for b in (2, 4) if nz % b == 0
+                             and nz // b >= 2]))
+        by = int(rng.choice([b for b in (8, 16) if ny % b == 0]))
+        k = int(rng.integers(1, min(bz, 3) + 1))
+    else:
+        nz = int(rng.choice([6, 8, 10, 12, 14]))  # incl. 2*odd slab counts
+        legal_bz = [b for b in (2, 3, 4, 5, 6, 7) if nz % b == 0
+                    and nz // b >= 2]
+        bz = int(rng.choice(legal_bz))
+        k = int(rng.integers(1, min(bz, 3) + 1))
+        by = None
+    steps = k * int(rng.integers(1, 3))
+    accel_plane = (0, nz - 1, int(rng.integers(0, nz)))[seed % 3]
+
+    f = (0.1 / 19) * (1 + 0.02 * rng.uniform(-1, 1, size=(19, nz, ny, nx)))
+    f = f.astype(np.float32)
+    mask = rng.uniform(size=(nz, ny, nx)) < 0.1
+
+    amask = d3q19.accel_plane_mask(nz, ny, nx, accel_plane)
+    f_ref, tots_ref = d3q19.run(jnp.asarray(f), jnp.asarray(mask), amask,
+                                num_steps=steps, **D3_KW)
+
+    mod = d3q19_pallas_inplace_blocked if blocked else d3q19_pallas_inplace
+    kw = dict(num_steps=steps, k_steps=k, accel_plane=accel_plane,
+              bz=bz, **D3_KW)
+    if blocked:
+        kw["by"] = by
+    f_ip, tots_ip = mod.run(jnp.asarray(f), jnp.asarray(mask, np.float32),
+                            **kw)
+    label = (f"blocked={blocked} nz={nz} ny={ny} bz={bz} by={by} k={k} "
+             f"steps={steps} accel_plane={accel_plane}")
+    np.testing.assert_allclose(np.asarray(f_ip), np.asarray(f_ref),
+                               rtol=2e-4, atol=1e-6, err_msg=label)
+    np.testing.assert_allclose(np.asarray(tots_ip), np.asarray(tots_ref),
+                               rtol=2e-4, err_msg=label)
+
+
+def test_d3q19_routing_fuzz():
+    """choose_k / pick_engine routing: random shapes route to a feasible
+    in-place config whose simulate() output matches the jax engine."""
+    rng = np.random.default_rng(77)
+    for _ in range(4):
+        nz = int(rng.choice([6, 8, 12, 16]))
+        ny = 8 * int(rng.integers(1, 4))
+        steps = 6
+        kind, bz, by, k = d3q19_pallas_inplace_blocked.choose_k(
+            nz, ny, 128, steps)
+        assert kind in ("slab", "blocked") and steps % k == 0
+        f_ref, av_ref = d3q19.simulate(nz, ny, 128, num_steps=steps)
+        f_ip, av_ip = d3q19.simulate(nz, ny, 128, num_steps=steps,
+                                     engine="pallas-inplace")
+        np.testing.assert_allclose(np.asarray(av_ip), np.asarray(av_ref),
+                                   rtol=2e-4,
+                                   err_msg=f"nz={nz} ny={ny} route={kind}")
