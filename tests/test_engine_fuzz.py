@@ -80,7 +80,13 @@ def test_random_config_parity_inplace(seed):
     k = int(rng.choice([1, 2, 3, 4, 6, 8]))
     steps = k * int(rng.integers(1, 3))
     accel_row = (0, ny - 1, int(rng.integers(0, ny)))[seed % 3]
-    omega = float(rng.uniform(0.6, 1.9))
+    # omega capped at 1.7: omega ~1.9 + 10% random obstacles is physically
+    # unstable (measured: |f| blows up to ~140 in 16 steps from the
+    # equilibrium+2% start) and chaos amplifies f32 eps between DIFFERENT
+    # arithmetic (jax vs pallas). The bitwise inplace==two-stream check
+    # below is chaos-immune and keeps full coverage of the ordering
+    # machinery at any omega.
+    omega = float(rng.uniform(0.6, 1.7))
     w1 = float(rng.uniform(0, 1e-4))
     w2 = w1 / 4
 
@@ -96,19 +102,34 @@ def test_random_config_parity_inplace(seed):
                              omega=omega, accel_w1=w1, accel_w2=w2)
         tots_ref.append(float(t))
 
+    label = (f"ny={ny} nx={nx} band={band} k={k} "
+             f"steps={steps} accel_row={accel_row}")
     f_ip, tots_ip = d2q9_pallas_inplace.run(
         jnp.asarray(f), jnp.asarray(mask, np.float32), num_steps=steps,
         omega=omega, accel_w1=w1, accel_w2=w2, accel_row=accel_row,
         band=band, k_steps=k,
     )
     np.testing.assert_allclose(np.asarray(f_ip), np.asarray(f_ref),
-                               rtol=2e-4, atol=1e-6,
-                               err_msg=f"ny={ny} nx={nx} band={band} k={k} "
-                                       f"steps={steps} accel_row={accel_row}")
+                               rtol=2e-4, atol=1e-6, err_msg=label)
     np.testing.assert_allclose(np.asarray(tots_ip), tots_ref, rtol=2e-4)
 
+    # interpret mode executes the aliased write-back DMAs in program
+    # order, so BIT-parity with the two-stream kernel (same arithmetic,
+    # no aliasing) is the exact test of the delayed-flush + wraparound
+    # snapshot ordering — immune to chaotic f32 divergence
+    f_ts, tots_ts = d2q9_pallas.run(
+        jnp.asarray(f), jnp.asarray(mask, np.float32), num_steps=steps,
+        omega=omega, accel_w1=w1, accel_w2=w2, accel_row=accel_row,
+        band=band, k_steps=k,
+    )
+    assert np.array_equal(np.asarray(f_ip), np.asarray(f_ts)), (
+        f"inplace != two-stream (write-back ordering): {label}")
 
-D3_KW = dict(omega=1.85, density=0.1, accel=0.005)
+
+# omega 1.4: stable with 10% random obstacles (1.85+ is marginal there —
+# see the 2-D note above); the directed tests cover omega=1.85 on the
+# shipped wall masks
+D3_KW = dict(omega=1.4, density=0.1, accel=0.005)
 
 
 @pytest.mark.parametrize("seed", CASES)
@@ -159,6 +180,22 @@ def test_random_config_parity_d3q19_inplace(seed):
                                rtol=2e-4, atol=1e-6, err_msg=label)
     np.testing.assert_allclose(np.asarray(tots_ip), np.asarray(tots_ref),
                                rtol=2e-4, err_msg=label)
+
+    # bitwise vs the two-stream kernel (same arithmetic, no aliasing):
+    # the exact in-place-ordering check — only where the two-stream
+    # kernel's modular halo maps are legal (k | bz and k | nz; the
+    # in-place kernels use direct plane indices and are more permissive)
+    if nz % k == 0 and bz % k == 0:
+        from lbm_tpu.ops import d3q19_pallas
+
+        ts_kw = dict(num_steps=steps, k_steps=k, accel_plane=accel_plane,
+                     bz=bz, **D3_KW)
+        if blocked:
+            ts_kw["by"] = by
+        f_ts, _ = d3q19_pallas.run(
+            jnp.asarray(f), jnp.asarray(mask, np.float32), **ts_kw)
+        assert np.array_equal(np.asarray(f_ip), np.asarray(f_ts)), (
+            f"in-place != two-stream (write-back ordering): {label}")
 
 
 def test_d3q19_routing_fuzz():
