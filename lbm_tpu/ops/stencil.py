@@ -45,6 +45,13 @@ def blur_step_conv(img: jax.Array, interior: jax.Array) -> jax.Array:
         padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        # f32 convs otherwise route through the MXU's bf16 multiply path on
+        # TPU (~3e-3 error measured at 8 passes) — this engine is the
+        # compatibility/oracle path, so f32 in must mean f32 arithmetic;
+        # bf16 storage keeps the fast default, matching the reference's
+        # half engines (GaussianBlurLowLevel.cpp dtype dispatch)
+        precision=(jax.lax.Precision.HIGHEST
+                   if img.dtype == jnp.float32 else None),
         preferred_element_type=img.dtype,
     )[0]
     return out * interior
