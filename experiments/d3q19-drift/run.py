@@ -56,8 +56,12 @@ def main():
     from lbm_tpu.ops import d3q19, d3q19_pallas_inplace_blocked
     from lbm_tpu.utils import profiling
 
+    # LBM_TEST_CACHE_DIR: isolate smoke runs from a concurrently-running
+    # TPU process — the shared persistent cache has no cross-process write
+    # atomicity on this image (see CLAUDE.md)
     profiling.enable_compilation_cache(
-        os.path.join(HERE, "..", "..", ".jax_cache"))
+        os.environ.get("LBM_TEST_CACHE_DIR")
+        or os.path.join(HERE, "..", "..", ".jax_cache"))
     platform = jax.devices()[0].platform
 
     rows = ["shape,engine,platform,steps,route,max_rel_err,final_rel_err,"
