@@ -155,6 +155,33 @@ def main():
                    f"{pct_o:.1f},0")
             print(row)
             out.write(row + "\n")
+            # round-5 opt-in full2d scheme (scheme='full2d', shard width
+            # >= 384): EVERY wave — row strips, column bands, and the 4
+            # corner second hops (8x128 each) — rides under the
+            # ghost-free interior kernel over (h-16)x(w-256) cells; only
+            # max(0, t_all_waves - t_interior) is exposed. The price: the
+            # W/E + S/N boundary kernels recompute a 3x halo-width strip
+            # — extra work ~ (6*128*h + 6*8*w)/(h*w) of a pass, folded
+            # into t_cmp2 as compute-side cost. The lane-width (128-col)
+            # W/E strips make that LARGE (~80% at 1024^2 shards, ~44% at
+            # 2048^2) — ~1.9x the column wave it hides at these working
+            # figures, so full2d LOSES at every modelled shard and
+            # overlap_scheme's 'auto' never picks it. The rows below are
+            # the record of that negative; full2d stays opt-in for
+            # interconnects >~2x slower per link.
+            if c2 > 1 and w2 >= 384:
+                t_corner = 2 * 4 * 9 * 8 * 128 * 4 / (ICI_GBPS * 1e9)
+                t_int2 = K2 * (h2 - 16) * (w2 - 256) / RATE2
+                reread = (6 * 128 * h2 + 6 * 8 * w2) / (h2 * w2)
+                t_cmp2 = t_cmp * (1 + reread)
+                t_exposed2 = max(0.0, t_row + t_col + t_corner - t_int2)
+                tot2 = t_cmp2 + t_exposed2
+                pct2 = 100 * t_exposed2 / tot2
+                row = (f"model2d-overlap-full2d,tpu-v5e-model,{ny2}x{ny2},"
+                       f"{r2}x{c2},{K2},{tot2:.2e},{t_cmp2:.2e},"
+                       f"{t_exposed2:.2e},{pct2:.1f},0")
+                print(row)
+                out.write(row + "\n")
     print(f"wrote {out_path}")
 
 

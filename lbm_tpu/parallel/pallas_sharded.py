@@ -55,6 +55,36 @@ def _local_stepk(local_engine: str):
         f"got {local_engine!r}")
 
 
+def overlap_scheme(n_col_shards: int, shard_w: int,
+                   scheme: str = "auto") -> str:
+    """Resolve which decomposition make_overlap_chunk_fn uses.
+
+    'row' (the 'auto' resolution): the row wave rides under the interior
+    kernel; on a 2-D mesh the column wave stays exposed. 'full2d' hides
+    BOTH waves under a ghost-free interior kernel, at the price of
+    recomputing the W/E lane-width boundary strips (3*GHOST_COLS columns
+    computed to yield GHOST_COLS valid) — the exchange model prices that
+    recompute at ~1.9x the column wave it hides at v5e working figures
+    (experiments/exchange-vs-compute, model2d-overlap-full2d rows), so
+    'auto' never picks it; it stays selectable for deployments whose
+    interconnect is >~2x slower per link. full2d also needs a column
+    interior to hide the wave under: n_col_shards > 1 and
+    shard_w >= 3*GHOST_COLS."""
+    if scheme in ("auto", "row"):
+        return "row"
+    if scheme == "full2d":
+        if n_col_shards <= 1:
+            raise ValueError("scheme='full2d' needs a column-sharded mesh "
+                             "(row meshes have no column wave to hide)")
+        if shard_w < 3 * GHOST_COLS:
+            raise ValueError(
+                f"scheme='full2d' needs shard width >= {3 * GHOST_COLS} "
+                f"(got {shard_w}): narrower shards have no column interior "
+                "to hide the column wave under")
+        return "full2d"
+    raise ValueError(f"scheme must be 'auto'|'row'|'full2d', got {scheme!r}")
+
+
 def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D rows-only mesh (columns wrap locally on each shard)."""
     if devices is None:
@@ -209,6 +239,7 @@ def make_overlap_chunk_fn(
     band: int | None = None,
     interpret: bool | None = None,
     local_engine: str = "inplace",
+    scheme: str = "auto",
 ):
     """Row-exchange/compute-overlapped variant of make_chunk_fn — the 2-D
     instantiation of pallas_sharded_3d.make_overlap_chunk_fn (reference
@@ -221,15 +252,28 @@ def make_overlap_chunk_fn(
     straight after the ghost ppermutes with NO data dependence on them,
     letting XLA move the ghost bands over ICI while the bulk computes.
     Two 3*GHOST-row boundary kernels (one ghost band + 2 owned bands in,
-    the GHOST edge rows out) run once the ghosts land. On a 2-D mesh the
-    column wave still completes first (the 2-wave corner scheme needs the
-    column-extended array before the row exchange) — only the row wave,
-    the dominant share in the exchange model, is overlapped. Physics is
-    identical to the fused path: same per-cell arithmetic, and the three
-    kernels' Sum|u| valid ranges partition the owned rows exactly —
-    the STATE is bit-identical to the fused path (pinned by
-    tests/test_pallas_sharded.py); the Sum|u| diagnostic is
-    reduction-order-equal only (three partial sums instead of one,
+    the GHOST edge rows out) run once the ghosts land.
+
+    scheme='full2d' (opt-in, round-5 VERDICT #9; needs a 2-D mesh and
+    shard width >= 3*GHOST_COLS) overlaps the COLUMN wave too: every
+    first-hop ppermute (W/E column bands, S/N owned-row strips) is
+    issued up front, ghost corners arrive as second-hop column shifts of
+    the row strips (bit-identical to the fused 2-wave ghosts — ppermutes
+    along different mesh axes commute with column concatenation), and
+    FIVE kernels partition the owned cells: an interior kernel with no
+    ghost dependence at all, W/E column-boundary kernels (one hop each),
+    and S/N full-width row-boundary kernels (strips + corners). It is
+    NOT the default ('auto' -> 'row'): the W/E kernels recompute
+    3*GHOST_COLS lane-width columns to yield GHOST_COLS valid, and the
+    exchange model prices that at ~1.9x the column wave it hides at v5e
+    working figures (experiments/exchange-vs-compute,
+    model2d-overlap-full2d rows) — see `overlap_scheme`.
+
+    Either way physics is identical to the fused path: same per-cell
+    arithmetic, and the kernels' Sum|u| valid windows partition the owned
+    cells exactly — the STATE is bit-identical to the fused path (pinned
+    by tests/test_pallas_sharded.py); the Sum|u| diagnostic is
+    reduction-order-equal only (3 or 5 partial sums instead of one,
     f32-ulp differences).
 
     Requires evenly-sharded rows (no pad) and h >= 3*GHOST."""
@@ -250,8 +294,87 @@ def make_overlap_chunk_fn(
     stepk = _local_stepk(local_engine)
     g = GHOST
 
+    def full2d_chunk(f_loc, mask_ext_f):
+        """Both-wave overlap: interior kernel depends on no ghosts."""
+        w = f_loc.shape[-1]
+        gcw = GHOST_COLS
+        shard_row0 = jax.lax.axis_index(ROW).astype(jnp.int32) * h
+        kw = dict(k_steps=k_steps, omega=omega, accel_w1=accel_w1,
+                  accel_w2=accel_w2, accel_row=accel_row,
+                  interpret=interpret, global_ny=ny)
+        # 1. every first-hop ghost exchange, mutually independent and
+        # independent of the interior kernel
+        ghost_w = halo_lib.ring_shift(f_loc[:, :, -gcw:], COL, +1)
+        ghost_e = halo_lib.ring_shift(f_loc[:, :, :gcw], COL, -1)
+        ghost_s = halo_lib.ring_shift(f_loc[:, -g:, :], ROW, +1)
+        ghost_n = halo_lib.ring_shift(f_loc[:, :g, :], ROW, -1)
+        # ghost corners: second-hop COLUMN shifts of the row strips.
+        # ring_shift(ghost_s[..., -gcw:], COL, +1) IS the fused path's
+        # ring_shift(ghost_w[:, -g:], ROW, +1) corner — the two hops
+        # commute — so every ghost cell is bitwise the fused one.
+        sw = halo_lib.ring_shift(ghost_s[:, :, -gcw:], COL, +1)
+        se = halo_lib.ring_shift(ghost_s[:, :, :gcw], COL, -1)
+        nw = halo_lib.ring_shift(ghost_n[:, :, -gcw:], COL, +1)
+        ne = halo_lib.ring_shift(ghost_n[:, :, :gcw], COL, -1)
+
+        # 2. interior kernel: owned block only. Cells within K of the
+        # block edge wrap around it (wrong physics) and are discarded.
+        int_new, t_i = stepk(
+            f_loc, mask_ext_f[g : g + h, gcw : gcw + w], band=band,
+            row_offset=shard_row0, valid_rows=(g, h - g),
+            valid_cols=(gcw, w - gcw), **kw)
+
+        # 3. W/E column-boundary kernels: ghost band + 2 owned bands in,
+        # the GHOST_COLS edge columns (interior rows only) out
+        west_in = jnp.concatenate([ghost_w, f_loc[:, :, : 2 * gcw]],
+                                  axis=2)
+        w_new, t_w = stepk(
+            west_in, mask_ext_f[g : g + h, : 3 * gcw], band=band,
+            row_offset=shard_row0, valid_rows=(g, h - g),
+            valid_cols=(gcw, 2 * gcw), **kw)
+        east_in = jnp.concatenate([f_loc[:, :, w - 2 * gcw :], ghost_e],
+                                  axis=2)
+        e_new, t_e = stepk(
+            east_in, mask_ext_f[g : g + h, w - gcw : w + 2 * gcw],
+            band=band, row_offset=shard_row0, valid_rows=(g, h - g),
+            valid_cols=(gcw, 2 * gcw), **kw)
+
+        # 4. S/N row-boundary kernels: full owned width incl. the corner
+        # cells, so they carry the column-extended ghost strips
+        top_ext = jnp.concatenate(
+            [ghost_w[:, : 2 * g], f_loc[:, : 2 * g], ghost_e[:, : 2 * g]],
+            axis=2)
+        south_in = jnp.concatenate(
+            [jnp.concatenate([sw, ghost_s, se], axis=2), top_ext], axis=1)
+        s_new, t_s = stepk(
+            south_in, mask_ext_f[: 3 * g],
+            row_offset=shard_row0 - g, valid_rows=(g, 2 * g),
+            valid_cols=(gcw, gcw + w), **kw)
+        bot_ext = jnp.concatenate(
+            [ghost_w[:, h - 2 * g :], f_loc[:, h - 2 * g :],
+             ghost_e[:, h - 2 * g :]], axis=2)
+        north_in = jnp.concatenate(
+            [bot_ext, jnp.concatenate([nw, ghost_n, ne], axis=2)], axis=1)
+        n_new, t_n = stepk(
+            north_in, mask_ext_f[h - g : h + 2 * g],
+            row_offset=shard_row0 + h - 2 * g, valid_rows=(g, 2 * g),
+            valid_cols=(gcw, gcw + w), **kw)
+
+        # 5. stitch the five disjoint valid regions back together
+        mid = jnp.concatenate(
+            [w_new[:, g : h - g, gcw : 2 * gcw],
+             int_new[:, g : h - g, gcw : w - gcw],
+             e_new[:, g : h - g, gcw : 2 * gcw]], axis=2)
+        f_new = jnp.concatenate(
+            [s_new[:, g : 2 * g, gcw : gcw + w], mid,
+             n_new[:, g : 2 * g, gcw : gcw + w]], axis=1)
+        return f_new, jax.lax.psum(t_i + t_w + t_e + t_s + t_n,
+                                   (ROW, COL))
+
     def local_chunk(f_loc, mask_ext_f):
         w = f_loc.shape[-1]
+        if overlap_scheme(n_cols, w, scheme) == "full2d":
+            return full2d_chunk(f_loc, mask_ext_f)
         if n_cols > 1:
             ghost_w = halo_lib.ring_shift(f_loc[:, :, -GHOST_COLS:], COL, +1)
             ghost_e = halo_lib.ring_shift(f_loc[:, :, :GHOST_COLS], COL, -1)
@@ -309,7 +432,7 @@ def make_overlap_chunk_fn(
     jax.jit,
     static_argnames=("mesh", "num_steps", "k_steps", "omega", "accel_w1",
                      "accel_w2", "accel_row", "ny", "band", "interpret",
-                     "local_engine", "overlap"),
+                     "local_engine", "overlap", "scheme"),
 )
 def run(
     f: jax.Array,
@@ -327,14 +450,16 @@ def run(
     interpret: bool | None = None,
     local_engine: str = "inplace",
     overlap: bool = False,
+    scheme: str = "auto",
 ):
     if num_steps % k_steps:
         raise ValueError("num_steps must be a multiple of k_steps")
+    kw = {} if not overlap else {"scheme": scheme}
     make = make_overlap_chunk_fn if overlap else make_chunk_fn
     chunk = make(
         mesh, k_steps=k_steps, omega=omega, accel_w1=accel_w1,
         accel_w2=accel_w2, accel_row=accel_row, ny=ny, band=band,
-        interpret=interpret, local_engine=local_engine,
+        interpret=interpret, local_engine=local_engine, **kw,
     )
 
     def body(carry, _):
@@ -397,13 +522,16 @@ def simulate(
     band: int | None = None,
     local_engine: str = "inplace",
     overlap: bool = False,
+    scheme: str = "auto",
 ):
     """Full reference-semantics distributed simulation on the
     ghost-band + local-Pallas path. Same contract as d2q9.simulate.
     local_engine='inplace' (default) runs the aliased one-stream kernel
     on each shard; 'two-stream' keeps the original kernel (oracle).
     overlap=True rides the row-ghost ppermutes under the interior kernel
-    (make_overlap_chunk_fn; even row sharding, >= 24 rows/shard)."""
+    (make_overlap_chunk_fn; even row sharding, >= 24 rows/shard);
+    scheme='full2d' additionally hides the column wave (see
+    overlap_scheme for why that is opt-in)."""
     if mesh is None:
         mesh = make_row_mesh()
     aw = d2q9.AccelWeights.from_params(params)
@@ -416,7 +544,7 @@ def simulate(
         f, mask_ext_f, mesh=mesh, num_steps=params.max_iters,
         k_steps=k_steps, omega=params.omega, accel_w1=aw.w1, accel_w2=aw.w2,
         accel_row=accel_row, ny=ny, band=band, local_engine=local_engine,
-        overlap=overlap,
+        overlap=overlap, scheme=scheme,
     )
     if pad:
         f_final = f_final[:, :ny, :]

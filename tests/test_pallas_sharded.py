@@ -179,15 +179,19 @@ def test_local_stepk_falls_back_to_two_stream():
     np.testing.assert_array_equal(np.asarray(ti), np.asarray(ta))
 
 
-@pytest.mark.parametrize("mesh_shape,ny,nx", [
-    ((8, 1), 192, 128),   # row mesh, h = 24 = 3*GHOST (minimum)
-    ((2, 4), 64, 512),    # 2-D mesh: column wave + overlapped row wave
+@pytest.mark.parametrize("mesh_shape,ny,nx,scheme", [
+    ((8, 1), 192, 128, "auto"),   # row mesh, h = 24 = 3*GHOST (minimum)
+    ((2, 4), 64, 512, "auto"),    # 2-D mesh: row scheme (column wave
+                                  # exposed, row wave overlapped)
+    ((2, 4), 48, 1536, "full2d"), # 2-D mesh, 384-col shards: opt-in
+                                  # FULL2D (both waves overlapped, 5
+                                  # kernels, corner second hops)
 ])
-def test_overlap_bit_parity_with_fused(mesh_shape, ny, nx):
-    """Round-4 VERDICT #5: the row-exchange/compute-overlapped chunk's
-    STATE must be BIT-identical to the fused path — same per-cell
-    arithmetic, the three kernels' valid ranges partition the owned rows
-    exactly. The Sum|u| diagnostic is reduction-order-equal only (three
+def test_overlap_bit_parity_with_fused(mesh_shape, ny, nx, scheme):
+    """Round-4 VERDICT #5 + round-5 #9: the exchange/compute-overlapped
+    chunk's STATE must be BIT-identical to the fused path — same per-cell
+    arithmetic, the kernels' valid windows partition the owned cells
+    exactly. The Sum|u| diagnostic is reduction-order-equal only (3 or 5
     partial sums instead of one -> f32 ulp differences)."""
     f, mask = make_case(ny, nx)
     w1, w2 = 0.1 * 0.005 / 9, 0.1 * 0.005 / 36
@@ -200,10 +204,30 @@ def test_overlap_bit_parity_with_fused(mesh_shape, ny, nx):
     f_fused, t_fused = pallas_sharded.run(
         jnp.asarray(f), mask_ext, mesh=mesh, **kw)
     f_over, t_over = pallas_sharded.run(
-        jnp.asarray(f), mask_ext, mesh=mesh, overlap=True, **kw)
+        jnp.asarray(f), mask_ext, mesh=mesh, overlap=True, scheme=scheme,
+        **kw)
     np.testing.assert_array_equal(np.asarray(f_over), np.asarray(f_fused))
     np.testing.assert_allclose(np.asarray(t_over), np.asarray(t_fused),
                                rtol=1e-6)
+
+
+def test_overlap_scheme_routing():
+    """'auto' resolves to 'row' (the exchange model prices full2d's W/E
+    strip recompute above the column wave it hides); 'full2d' is opt-in
+    and needs BOTH column shards and a column interior (>= 3*GHOST_COLS
+    wide) to hide the column wave under."""
+    gc = pallas_sharded.GHOST_COLS
+    assert pallas_sharded.overlap_scheme(1, 4096) == "row"
+    assert pallas_sharded.overlap_scheme(4, 1024) == "row"
+    assert pallas_sharded.overlap_scheme(4, 1024, "row") == "row"
+    assert pallas_sharded.overlap_scheme(2, 3 * gc, "full2d") == "full2d"
+    assert pallas_sharded.overlap_scheme(4, 1024, "full2d") == "full2d"
+    with pytest.raises(ValueError, match="column-sharded"):
+        pallas_sharded.overlap_scheme(1, 4096, "full2d")
+    with pytest.raises(ValueError, match="column interior"):
+        pallas_sharded.overlap_scheme(4, 3 * gc - gc, "full2d")
+    with pytest.raises(ValueError, match="scheme"):
+        pallas_sharded.overlap_scheme(4, 1024, "bogus")
 
 
 def test_overlap_rejects_thin_and_padded_shards():
