@@ -132,8 +132,11 @@ def main() -> int:
             cell = "infeasible" if m != m else m
             rows.append(f"{ny},{nx},{band},{k},{tag},tpu,{args.iters},"
                         f"{cell},{mis if tag == 'pick' else ''}")
-    with open(os.path.join(HERE, "aspect.csv"), "w") as fh:
-        fh.write("\n".join(rows) + "\n")
+        # write incrementally so a timeboxed/killed sweep still leaves
+        # committable evidence for the shapes it completed
+        with open(os.path.join(HERE, "aspect.csv"), "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+        print(f"aspect.csv: {len(rows) - 1} rows so far", flush=True)
     print(f"wrote aspect.csv ({bad} mispicks)")
     return 0 if bad == 0 else 2
 
