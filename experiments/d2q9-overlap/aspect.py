@@ -81,11 +81,24 @@ def _worker(ny: int, nx: int, band: int, k: int, iters: int) -> int:
                       k_steps=k, band=band)
 
     np.asarray(runner(iters)[1])
+
+    # Differential timing (the blur methodology): at these cell counts a
+    # 496-iter run is ~0.1-0.2 s while the tunnel's fixed materialise
+    # latency is ~160 ms, so single-run MLUPS would compress real config
+    # differences ~2-3x below the 2% mispick threshold. Dispatch R runs
+    # back-to-back and materialise once; t(R_hi) - t(R_lo) cancels the
+    # fixed latency exactly and shares one compile.
+    def timed(reps: int) -> float:
+        t0 = time.perf_counter()
+        outs = [runner(iters)[1] for _ in range(reps)]
+        np.asarray(outs[-1])
+        return time.perf_counter() - t0
+
+    r_lo, r_hi = 2, 10
     best = float("inf")
     for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(runner(iters)[1])
-        best = min(best, time.perf_counter() - t0)
+        dt = timed(r_hi) - timed(r_lo)
+        best = min(best, dt / (r_hi - r_lo))
     print(json.dumps({"mlups": round(iters * ny * nx / best / 1e6, 1)}))
     return 0
 
@@ -93,10 +106,16 @@ def _worker(ny: int, nx: int, band: int, k: int, iters: int) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=496)
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated NYxNX subset (timeboxed runs)")
     args = ap.parse_args()
+    shapes = SHAPES
+    if args.shapes:
+        shapes = [tuple(int(v) for v in s.split("x"))
+                  for s in args.shapes.split(",")]
     rows = ["ny,nx,band,k,tag,platform,iters,mlups,mispick"]
     bad = 0
-    for ny, nx in SHAPES:
+    for ny, nx in shapes:
         results = []
         for band, k, tag in configs_for(ny, nx):
             if args.iters % k:
